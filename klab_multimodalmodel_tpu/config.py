@@ -1,0 +1,309 @@
+"""Configuration system.
+
+Reference parity: mirrors the 13 argparse flags of
+``/root/reference/modules/config.py:3-24`` (same names, defaults, and choices),
+extended with TPU-native knobs (mesh shape, precision, padding buckets, ...).
+
+Unlike the reference's bare ``argparse.Namespace``, the config is a frozen
+dataclass that is serialized into the run directory (``config.json``) so every
+run is reproducible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any, Sequence
+
+
+# ---------------------------------------------------------------------------
+# Model geometry tables
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Size:
+    """Geometry of a T5 v1.0 checkpoint family member.
+
+    Matches the published google/t5 configs (the reference loads these via
+    ``T5ForConditionalGeneration.from_pretrained`` at
+    ``/root/reference/models/model.py:14-17``).
+    """
+
+    d_model: int
+    d_kv: int
+    d_ff: int
+    num_layers: int
+    num_decoder_layers: int
+    num_heads: int
+    vocab_size: int = 32128
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"  # original T5 uses un-gated ReLU MLPs
+    tie_word_embeddings: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+
+
+# The five sizes the reference exposes via --language_model_name /
+# --transformer_model_name choices (/root/reference/modules/config.py:8-9).
+T5_SIZES: dict[str, T5Size] = {
+    "t5-small": T5Size(d_model=512, d_kv=64, d_ff=2048, num_layers=6,
+                       num_decoder_layers=6, num_heads=8),
+    "t5-base": T5Size(d_model=768, d_kv=64, d_ff=3072, num_layers=12,
+                      num_decoder_layers=12, num_heads=12),
+    "t5-large": T5Size(d_model=1024, d_kv=64, d_ff=4096, num_layers=24,
+                       num_decoder_layers=24, num_heads=16),
+    "t5-3b": T5Size(d_model=1024, d_kv=128, d_ff=16384, num_layers=24,
+                    num_decoder_layers=24, num_heads=32),
+    "t5-11b": T5Size(d_model=1024, d_kv=128, d_ff=65536, num_layers=24,
+                     num_decoder_layers=24, num_heads=128),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinV2Size:
+    """Geometry of a SwinV2 checkpoint family member.
+
+    Default mirrors microsoft/swinv2-base-patch4-window8-256, the reference's
+    default --image_model_name (/root/reference/modules/config.py:6).
+    """
+
+    image_size: int = 256
+    patch_size: int = 4
+    num_channels: int = 3
+    embed_dim: int = 128
+    depths: tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layer_norm_eps: float = 1e-5
+    drop_path_rate: float = 0.1
+    pretrained_window_sizes: tuple[int, ...] = (0, 0, 0, 0)
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    @property
+    def num_patches_out(self) -> int:
+        side = self.image_size // self.patch_size // 2 ** (len(self.depths) - 1)
+        return side * side
+
+
+SWINV2_SIZES: dict[str, SwinV2Size] = {
+    "microsoft/swinv2-tiny-patch4-window8-256": SwinV2Size(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "microsoft/swinv2-small-patch4-window8-256": SwinV2Size(
+        embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "microsoft/swinv2-base-patch4-window8-256": SwinV2Size(),
+    "microsoft/swinv2-large-patch4-window12-192-22k": SwinV2Size(
+        image_size=192, embed_dim=192, depths=(2, 2, 18, 2),
+        num_heads=(6, 12, 24, 48), window_size=12),
+}
+
+
+# ---------------------------------------------------------------------------
+# Main run config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Config:
+    """One config object for training + inference.
+
+    The first block reproduces the reference's argparse surface one-to-one
+    (/root/reference/modules/config.py:3-24). The second block holds
+    TPU-native settings that have no reference counterpart.
+    """
+
+    # --- reference-compatible flags (names, defaults, choices preserved) ---
+    image_model_name: str = "microsoft/swinv2-base-patch4-window8-256"
+    image_model_train: bool = False
+    language_model_name: str = "t5-large"
+    transformer_model_name: str = "t5-large"
+    max_source_length: int = 256
+    max_target_length: int = 128
+    lr: float = 0.001
+    lr_scheduler: str = ""  # '', cosine, linear, exponential, step
+    batch_size: int = 64  # per-chip batch size (per-GPU in the reference)
+    accumulation_steps: int = 1
+    num_epochs: int | None = None
+    num_steps: int | None = None
+    save_interval: int | None = None
+    data_dir: str = "/user/data/mscoco2017/"
+    result_dir: str = "results/"
+
+    # --- TPU-native extensions ---
+    seed: int = 0
+    # Mesh: data-parallel x fsdp x tensor-parallel. -1 on the data axis means
+    # "all remaining devices".
+    mesh_shape: tuple[int, int, int] = (-1, 1, 1)
+    mesh_axis_names: tuple[str, str, str] = ("data", "fsdp", "tensor")
+    # Compute dtype policy: params fp32, activations bf16 (MXU-native).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Remat policy for transformer layers: '', 'full', 'dots_saveable'.
+    remat: str = ""
+    # Fixed-shape padding (XLA static shapes). The reference pads each batch
+    # to the longest element (train.py:56-57) which would trigger one XLA
+    # recompile per distinct length; we pad to fixed buckets instead.
+    source_length_buckets: tuple[int, ...] = ()
+    target_length_buckets: tuple[int, ...] = ()
+    # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
+    # attention masks and does not mask pad positions out of the loss.
+    # Defaults fix both; set True for bit-parity with the reference.
+    reference_pad_quirks: bool = False
+    # Quirk #1 (SURVEY.md §2A): reference's optimizer covers only the
+    # transformer even when Swin is trainable. Default fixes it; the flag
+    # reproduces the reference behaviour exactly.
+    freeze_image_model_updates: bool = False
+    # Optional learned projection between vision features and d_model
+    # (quirk #8 fix); initialised to identity when dims already match.
+    use_vision_projection: bool = True
+    # Tokenizer: path to a HuggingFace tokenizers JSON file (unigram/BPE) or
+    # '' to use the built-in whitespace fallback (tests / smoke runs).
+    tokenizer_path: str = ""
+    # Data pipeline
+    num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
+    prefetch_batches: int = 2
+    log_every_steps: int = 50
+    # Generation defaults — HF GenerationConfig defaults the reference
+    # inherits via transformer.generate (models/model.py:28): greedy,
+    # max_length=20, decoder_start = pad id.
+    generate_max_length: int = 20
+    num_beams: int = 1
+
+    def __post_init__(self) -> None:
+        if self.lr_scheduler not in ("", "cosine", "linear", "exponential", "step"):
+            raise ValueError(f"unknown lr_scheduler {self.lr_scheduler!r}")
+
+    # -- derived model geometries ------------------------------------------
+    @property
+    def language_t5(self) -> T5Size:
+        return _t5_size(self.language_model_name)
+
+    @property
+    def transformer_t5(self) -> T5Size:
+        return _t5_size(self.transformer_model_name)
+
+    @property
+    def swin(self) -> SwinV2Size:
+        return _swin_size(self.image_model_name)
+
+    # -- (de)serialization -------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def save(self, result_dir: str | None = None) -> str:
+        path = os.path.join(result_dir or self.result_dir, "config.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+        return path
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in field_names}
+        for key in ("mesh_shape", "mesh_axis_names", "source_length_buckets",
+                    "target_length_buckets"):
+            if key in kwargs and isinstance(kwargs[key], list):
+                kwargs[key] = tuple(kwargs[key])
+        return cls(**kwargs)
+
+
+# Custom geometry registry: lets tests and users register tiny model sizes
+# under arbitrary names without touching the published tables.
+_CUSTOM_T5: dict[str, T5Size] = {}
+_CUSTOM_SWIN: dict[str, SwinV2Size] = {}
+
+
+def register_t5_size(name: str, size: T5Size) -> None:
+    _CUSTOM_T5[name] = size
+
+
+def register_swin_size(name: str, size: SwinV2Size) -> None:
+    _CUSTOM_SWIN[name] = size
+
+
+def _t5_size(name: str) -> T5Size:
+    if name in _CUSTOM_T5:
+        return _CUSTOM_T5[name]
+    if name in T5_SIZES:
+        return T5_SIZES[name]
+    raise KeyError(f"unknown T5 model name {name!r}; register_t5_size() first")
+
+
+def _swin_size(name: str) -> SwinV2Size:
+    if name in _CUSTOM_SWIN:
+        return _CUSTOM_SWIN[name]
+    if name in SWINV2_SIZES:
+        return SWINV2_SIZES[name]
+    raise KeyError(
+        f"unknown SwinV2 model name {name!r}; register_swin_size() first")
+
+
+# ---------------------------------------------------------------------------
+# CLI — flag-name compatible with /root/reference/modules/config.py
+# ---------------------------------------------------------------------------
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="KLab MultiModalModel — TPU-native (JAX/XLA/Pallas)")
+    d = Config()
+    # Reference flags — names/defaults/choices preserved
+    # (/root/reference/modules/config.py:5-22).
+    parser.add_argument("--image_model_name", type=str, default=d.image_model_name)
+    parser.add_argument("--image_model_train", action="store_true")
+    parser.add_argument("--language_model_name", type=str,
+                        default=d.language_model_name,
+                        choices=list(T5_SIZES.keys()) + list(_CUSTOM_T5.keys()))
+    parser.add_argument("--transformer_model_name", type=str,
+                        default=d.transformer_model_name,
+                        choices=list(T5_SIZES.keys()) + list(_CUSTOM_T5.keys()))
+    parser.add_argument("--max_source_length", type=int, default=d.max_source_length)
+    parser.add_argument("--max_target_length", type=int, default=d.max_target_length)
+    parser.add_argument("--lr", type=float, default=d.lr)
+    parser.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
+                        choices=["", "cosine", "linear", "exponential", "step"])
+    parser.add_argument("--batch_size", type=int, default=d.batch_size)
+    parser.add_argument("--accumulation_steps", type=int, default=d.accumulation_steps)
+    parser.add_argument("--num_epochs", type=int, default=None)
+    parser.add_argument("--num_steps", type=int, default=None)
+    parser.add_argument("--save_interval", type=int, default=None)
+    parser.add_argument("--data_dir", type=str, default=d.data_dir)
+    parser.add_argument("--result_dir", type=str, default=d.result_dir)
+    # TPU-native extensions
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--mesh_shape", type=int, nargs=3, default=list(d.mesh_shape),
+                        metavar=("DATA", "FSDP", "TENSOR"))
+    parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--remat", type=str, default=d.remat,
+                        choices=["", "full", "dots_saveable"])
+    parser.add_argument("--reference_pad_quirks", action="store_true")
+    parser.add_argument("--freeze_image_model_updates", action="store_true")
+    parser.add_argument("--tokenizer_path", type=str, default=d.tokenizer_path)
+    parser.add_argument("--num_workers", type=int, default=d.num_workers)
+    parser.add_argument("--log_every_steps", type=int, default=d.log_every_steps)
+    parser.add_argument("--generate_max_length", type=int, default=d.generate_max_length)
+    parser.add_argument("--num_beams", type=int, default=d.num_beams)
+    return parser
+
+
+def parse_arguments(argv: Sequence[str] | None = None) -> Config:
+    """Drop-in equivalent of the reference's ``parse_arguments``
+    (/root/reference/modules/config.py:3), returning a ``Config``."""
+    ns = build_arg_parser().parse_args(argv)
+    kwargs: dict[str, Any] = vars(ns)
+    kwargs["mesh_shape"] = tuple(kwargs["mesh_shape"])
+    return Config(**kwargs)

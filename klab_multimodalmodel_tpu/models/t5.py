@@ -1,0 +1,482 @@
+"""T5 v1.0 encoder-decoder, TPU-native.
+
+Re-implements the capability the reference pulls in through HuggingFace
+``T5EncoderModel`` / ``T5ForConditionalGeneration``
+(``/root/reference/models/model.py:4,14,17``): relative-position-bucket
+attention bias, RMSNorm, un-gated ReLU MLPs, tied LM head with the
+``d_model**-0.5`` output scale, teacher-forced cross-entropy, and an
+incremental-decode path with a KV cache.
+
+TPU-first choices (not a port of the torch code):
+  * layers are stacked with ``nn.scan`` (one compiled block body, layer axis
+    as data) — compile time stays flat in depth;
+  * softmax/norm statistics in fp32, matmuls in bf16 via the dtype policy;
+  * attention masks are additive fp32 biases fused into the logits;
+  * incremental decoding uses fixed-shape cache buffers updated with
+    ``lax.dynamic_update_slice`` so the greedy loop is a single XLA while-loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import T5Size
+from .layers import NEG_INF, RMSNorm, dot_product_attention
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Relative position bias
+# ---------------------------------------------------------------------------
+
+
+def relative_position_bucket(relative_position: jax.Array,
+                             bidirectional: bool = True,
+                             num_buckets: int = 32,
+                             max_distance: int = 128) -> jax.Array:
+    """T5's log-spaced relative-position bucketing (vectorized).
+
+    ``relative_position`` is ``key_pos - query_pos``. Semantics match the HF
+    reference implementation bit-for-bit on integer inputs.
+    """
+    ret = jnp.zeros_like(relative_position)
+    n = relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    # Larger distances: logarithmic buckets up to max_distance.
+    n_f = jnp.maximum(n.astype(jnp.float32), 1.0)
+    val_if_large = max_exact + (
+        jnp.log(n_f / max_exact) / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5RelativePositionBias(nn.Module):
+    """Learned bucket embedding -> (1, heads, Lq, Lk) additive bias.
+
+    Held once per stack (HF stores it in block 0 and shares it across layers;
+    here it lives outside the scanned blocks, which is the same math).
+    """
+
+    num_buckets: int
+    max_distance: int
+    num_heads: int
+    bidirectional: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_length: int, key_length: int) -> jax.Array:
+        ctx = jnp.arange(query_length)[:, None]
+        mem = jnp.arange(key_length)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, bidirectional=self.bidirectional,
+            num_buckets=self.num_buckets, max_distance=self.max_distance)
+        table = self.param(
+            "embedding", nn.initializers.normal(1.0),
+            (self.num_buckets, self.num_heads), jnp.float32)
+        bias = table[buckets]                       # (Lq, Lk, H)
+        return jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, Lq, Lk)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+class T5Attention(nn.Module):
+    """Multi-head attention without the 1/sqrt(d) scale (T5 convention).
+
+    Supports three modes: encoder/decoder self-attention, cross-attention
+    (``kv`` given), and single-token incremental decode (``decode=True``)
+    against a fixed-shape KV cache stored in flax ``cache`` variables.
+    """
+
+    size: T5Size
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
+                 bias: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 decode: bool = False) -> jax.Array:
+        s = self.size
+        inner = s.num_heads * s.d_kv
+        dense = lambda name, init_std: nn.Dense(  # noqa: E731
+            inner, use_bias=False, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.normal(init_std))
+        # Init stds follow the T5 fan-in scheme (mesh-tf init, as in HF).
+        q_proj = dense("q", (s.d_model * s.d_kv) ** -0.5)
+        k_proj = dense("k", s.d_model ** -0.5)
+        v_proj = dense("v", s.d_model ** -0.5)
+        o_proj = nn.Dense(s.d_model, use_bias=False, dtype=self.dtype, name="o",
+                          kernel_init=nn.initializers.normal(inner ** -0.5))
+
+        def split_heads(t):
+            return t.reshape(t.shape[:-1] + (s.num_heads, s.d_kv)).transpose(
+                0, 2, 1, 3)  # (B, H, L, D)
+
+        q = split_heads(q_proj(x))
+        is_cross = kv is not None
+        src = kv if is_cross else x
+        k = split_heads(k_proj(src))
+        v = split_heads(v_proj(src))
+
+        if decode:
+            # Fixed-shape cache: (B, H, max_len, d_kv) + scalar write index.
+            if is_cross:
+                # Cross-attention K/V depend only on the encoder output:
+                # computed once at cache init, then reused each step.
+                ck = self.variable("cache", "cached_key", lambda: k)
+                cv = self.variable("cache", "cached_value", lambda: v)
+                k, v = ck.value, cv.value
+            else:
+                B, H, _, D = k.shape
+                max_len = bias.shape[-1] if bias is not None else k.shape[2]
+                ck = self.variable(
+                    "cache", "cached_key",
+                    lambda: jnp.zeros((B, H, max_len, D), self.dtype))
+                cv = self.variable(
+                    "cache", "cached_value",
+                    lambda: jnp.zeros((B, H, max_len, D), self.dtype))
+                idx = self.variable(
+                    "cache", "cache_index", lambda: jnp.array(0, jnp.int32))
+                i = idx.value
+                ck.value = jax.lax.dynamic_update_slice(
+                    ck.value, k.astype(self.dtype), (0, 0, i, 0))
+                cv.value = jax.lax.dynamic_update_slice(
+                    cv.value, v.astype(self.dtype), (0, 0, i, 0))
+                idx.value = i + x.shape[1]
+                k, v = ck.value, cv.value
+                # Mask out cache slots that have not been written yet.
+                pos = jnp.arange(max_len)[None, None, None, :]
+                valid = pos <= i
+                step_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+                bias = step_bias if bias is None else bias + step_bias
+
+        attn = dot_product_attention(q, k, v, bias=bias, scale=None)
+        # NOTE: HF applies dropout to attention probs; we keep that but fold
+        # it here (post-softmax) only when training.
+        attn = nn.Dropout(s.dropout_rate)(attn, deterministic=deterministic)
+        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (inner,))
+        return o_proj(attn)
+
+
+class T5Mlp(nn.Module):
+    """Un-gated ReLU MLP (original T5 ``DenseActDense``)."""
+
+    size: T5Size
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        s = self.size
+        x = nn.Dense(s.d_ff, use_bias=False, dtype=self.dtype, name="wi",
+                     kernel_init=nn.initializers.normal(s.d_model ** -0.5))(x)
+        x = nn.relu(x)
+        x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(s.d_model, use_bias=False, dtype=self.dtype, name="wo",
+                     kernel_init=nn.initializers.normal(s.d_ff ** -0.5))(x)
+        return x
+
+
+class T5Block(nn.Module):
+    """Pre-norm residual block: self-attn [-> cross-attn] -> MLP."""
+
+    size: T5Size
+    has_cross_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, self_bias, enc_out, cross_bias,
+                 deterministic: bool = True, decode: bool = False):
+        s = self.size
+        drop = nn.Dropout(s.dropout_rate)
+        h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_self")(x)
+        h = T5Attention(s, dtype=self.dtype, name="SelfAttention")(
+            h, bias=self_bias, deterministic=deterministic, decode=decode)
+        x = x + drop(h, deterministic=deterministic)
+        if self.has_cross_attention:
+            h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_cross")(x)
+            h = T5Attention(s, dtype=self.dtype, name="EncDecAttention")(
+                h, kv=enc_out, bias=cross_bias, deterministic=deterministic,
+                decode=decode)
+            x = x + drop(h, deterministic=deterministic)
+        h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_mlp")(x)
+        h = T5Mlp(s, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        return x
+
+
+class _ScanBlock(nn.Module):
+    """Scan-compatible wrapper: carries hidden state through stacked blocks.
+
+    ``deterministic``/``decode`` are static attributes (compile-time flags),
+    so the scanned body stays a pure array->array function.
+    """
+
+    size: T5Size
+    has_cross_attention: bool
+    dtype: Dtype
+    deterministic: bool
+    decode: bool
+
+    @nn.compact
+    def __call__(self, carry, self_bias, enc_out, cross_bias):
+        x = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
+                    name="block")(carry, self_bias, enc_out, cross_bias,
+                                  deterministic=self.deterministic,
+                                  decode=self.decode)
+        return x, None
+
+
+class T5Stack(nn.Module):
+    """Encoder or decoder stack (embedding handled by the caller)."""
+
+    size: T5Size
+    num_layers: int
+    is_decoder: bool
+    dtype: Dtype = jnp.float32
+    remat: str = ""
+
+    @nn.compact
+    def __call__(self, inputs_embeds: jax.Array,
+                 self_bias: Optional[jax.Array] = None,
+                 enc_out: Optional[jax.Array] = None,
+                 cross_bias: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 decode: bool = False) -> jax.Array:
+        s = self.size
+        x = nn.Dropout(s.dropout_rate)(inputs_embeds,
+                                       deterministic=deterministic)
+        block_cls = _ScanBlock
+        if self.remat == "full":
+            block_cls = nn.remat(block_cls)
+        elif self.remat == "dots_saveable":
+            block_cls = nn.remat(
+                block_cls, policy=jax.checkpoint_policies.dots_saveable)
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0, "cache": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 3,
+            length=self.num_layers,
+        )(s, self.is_decoder, self.dtype, deterministic, decode,
+          name="layers")
+        x, _ = blocks(x, self_bias, enc_out, cross_bias)
+        x = RMSNorm(epsilon=s.layer_norm_epsilon, name="final_layer_norm")(x)
+        x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Top-level models
+# ---------------------------------------------------------------------------
+
+
+def _mask_to_bias(mask: Optional[jax.Array], batch: int, length: int):
+    if mask is None:
+        return None
+    return jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(
+        jnp.float32)
+
+
+def causal_bias(length: int) -> jax.Array:
+    idx = jnp.arange(length)
+    return jnp.where(idx[:, None] >= idx[None, :], 0.0, NEG_INF).astype(
+        jnp.float32)[None, None]
+
+
+class T5Encoder(nn.Module):
+    """T5EncoderModel equivalent (``/root/reference/models/model.py:14``).
+
+    Accepts token ids or pre-computed ``inputs_embeds``.
+    """
+
+    size: T5Size
+    dtype: Dtype = jnp.float32
+    remat: str = ""
+
+    def setup(self):
+        s = self.size
+        self.shared = nn.Embed(s.vocab_size, s.d_model,
+                               embedding_init=nn.initializers.normal(1.0),
+                               dtype=self.dtype, name="shared")
+        self.relpos = T5RelativePositionBias(
+            num_buckets=s.relative_attention_num_buckets,
+            max_distance=s.relative_attention_max_distance,
+            num_heads=s.num_heads, bidirectional=True, name="relpos_bias")
+        self.stack = T5Stack(s, s.num_layers, is_decoder=False,
+                             dtype=self.dtype, remat=self.remat,
+                             name="encoder")
+
+    def __call__(self, input_ids: Optional[jax.Array] = None,
+                 inputs_embeds: Optional[jax.Array] = None,
+                 attention_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        B, L = inputs_embeds.shape[:2]
+        bias = self.relpos(L, L)
+        mask_bias = _mask_to_bias(attention_mask, B, L)
+        if mask_bias is not None:
+            bias = bias + mask_bias
+        return self.stack(inputs_embeds, self_bias=bias,
+                          deterministic=deterministic)
+
+
+@dataclasses.dataclass
+class Seq2SeqOutput:
+    loss: Optional[jax.Array]
+    logits: jax.Array
+    encoder_last_hidden_state: jax.Array
+
+
+def shift_right(labels: jax.Array, decoder_start_token_id: int,
+                pad_token_id: int) -> jax.Array:
+    """HF ``_shift_right``: prepend start token, drop last, map -100 -> pad."""
+    shifted = jnp.concatenate(
+        [jnp.full(labels.shape[:-1] + (1,), decoder_start_token_id,
+                  labels.dtype), labels[..., :-1]], axis=-1)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       weights: Optional[jax.Array] = None) -> jax.Array:
+    """Token-level CE, mean over weighted positions (fp32).
+
+    With ``weights=None`` every position counts — reproducing the reference's
+    unmasked loss (quirk #3, ``/root/reference/models/model.py:26`` passes raw
+    pad-containing labels).
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        logits, jnp.maximum(labels, 0)[..., None], axis=-1)[..., 0]
+    nll = logz - label_logit
+    if weights is None:
+        weights = jnp.ones_like(nll)
+    weights = weights.astype(jnp.float32)
+    return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+class T5ForConditionalGeneration(nn.Module):
+    """Full enc-dec with tied LM head (``/root/reference/models/model.py:17``)."""
+
+    size: T5Size
+    dtype: Dtype = jnp.float32
+    remat: str = ""
+
+    def setup(self):
+        s = self.size
+        self.shared = nn.Embed(s.vocab_size, s.d_model,
+                               embedding_init=nn.initializers.normal(1.0),
+                               dtype=self.dtype, name="shared")
+        self.enc_relpos = T5RelativePositionBias(
+            num_buckets=s.relative_attention_num_buckets,
+            max_distance=s.relative_attention_max_distance,
+            num_heads=s.num_heads, bidirectional=True, name="enc_relpos_bias")
+        self.dec_relpos = T5RelativePositionBias(
+            num_buckets=s.relative_attention_num_buckets,
+            max_distance=s.relative_attention_max_distance,
+            num_heads=s.num_heads, bidirectional=False, name="dec_relpos_bias")
+        self.encoder = T5Stack(s, s.num_layers, is_decoder=False,
+                               dtype=self.dtype, remat=self.remat,
+                               name="encoder")
+        self.decoder = T5Stack(s, s.num_decoder_layers, is_decoder=True,
+                               dtype=self.dtype, remat=self.remat,
+                               name="decoder")
+        if not s.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                s.vocab_size, use_bias=False, dtype=self.dtype,
+                kernel_init=nn.initializers.normal(s.d_model ** -0.5),
+                name="lm_head")
+
+    # -- pieces -----------------------------------------------------------
+    def encode(self, input_ids=None, inputs_embeds=None, attention_mask=None,
+               deterministic: bool = True) -> jax.Array:
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        B, L = inputs_embeds.shape[:2]
+        bias = self.enc_relpos(L, L)
+        mask_bias = _mask_to_bias(attention_mask, B, L)
+        if mask_bias is not None:
+            bias = bias + mask_bias
+        return self.encoder(inputs_embeds, self_bias=bias,
+                            deterministic=deterministic)
+
+    def _lm_logits(self, hidden: jax.Array) -> jax.Array:
+        s = self.size
+        if s.tie_word_embeddings:
+            hidden = hidden * (s.d_model ** -0.5)
+            return self.shared.attend(hidden)
+        return self.lm_head(hidden)
+
+    def decode_train(self, decoder_input_ids, encoder_hidden,
+                     encoder_attention_mask=None, decoder_attention_mask=None,
+                     deterministic: bool = True) -> jax.Array:
+        B, L = decoder_input_ids.shape
+        dec_embeds = self.shared(decoder_input_ids)
+        self_bias = self.dec_relpos(L, L) + causal_bias(L)
+        if decoder_attention_mask is not None:
+            self_bias = self_bias + _mask_to_bias(decoder_attention_mask, B, L)
+        cross_bias = _mask_to_bias(encoder_attention_mask, B,
+                                   encoder_hidden.shape[1])
+        hidden = self.decoder(dec_embeds, self_bias=self_bias,
+                              enc_out=encoder_hidden, cross_bias=cross_bias,
+                              deterministic=deterministic)
+        return self._lm_logits(hidden)
+
+    def decode_step(self, decoder_input_token: jax.Array, step: jax.Array,
+                    encoder_hidden: jax.Array, max_decode_len: int,
+                    encoder_attention_mask=None) -> jax.Array:
+        """One incremental decode step with the KV cache (decode=True).
+
+        ``decoder_input_token`` is (B, 1); returns (B, 1, vocab) logits.
+        """
+        s = self.size
+        dec_embeds = self.shared(decoder_input_token)
+        # Bias row for the current step against the full cache length.
+        full_bias = self.dec_relpos(max_decode_len, max_decode_len)
+        self_bias = jax.lax.dynamic_slice_in_dim(full_bias, step, 1, axis=2)
+        cross_bias = _mask_to_bias(encoder_attention_mask,
+                                   dec_embeds.shape[0],
+                                   encoder_hidden.shape[1])
+        hidden = self.decoder(dec_embeds, self_bias=self_bias,
+                              enc_out=encoder_hidden, cross_bias=cross_bias,
+                              deterministic=True, decode=True)
+        return self._lm_logits(hidden)
+
+    # -- main entry -------------------------------------------------------
+    def __call__(self, input_ids=None, inputs_embeds=None,
+                 attention_mask=None, labels=None, decoder_input_ids=None,
+                 decoder_attention_mask=None, label_weights=None,
+                 deterministic: bool = True) -> Seq2SeqOutput:
+        s = self.size
+        enc = self.encode(input_ids, inputs_embeds, attention_mask,
+                          deterministic)
+        if decoder_input_ids is None:
+            decoder_input_ids = shift_right(
+                labels, s.decoder_start_token_id, s.pad_token_id)
+        logits = self.decode_train(decoder_input_ids, enc,
+                                   encoder_attention_mask=attention_mask,
+                                   decoder_attention_mask=decoder_attention_mask,
+                                   deterministic=deterministic)
+        loss = None
+        if labels is not None:
+            loss = cross_entropy_loss(logits, labels, label_weights)
+        return Seq2SeqOutput(loss=loss, logits=logits,
+                             encoder_last_hidden_state=enc)

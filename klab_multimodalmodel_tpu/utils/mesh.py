@@ -1,0 +1,81 @@
+"""Device mesh construction and distributed initialization.
+
+TPU-native replacement for the reference's NCCL process-group setup
+(``dist.init_process_group("nccl")`` at ``/root/reference/train.py:12`` and the
+DDP wrap at ``train.py:26``): instead of explicit collectives, we build a
+``jax.sharding.Mesh`` and let the XLA SPMD partitioner insert all-reduces over
+ICI/DCN from sharding annotations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host rendezvous (c10d equivalent). No-op single-host."""
+    if os.environ.get("KLAB_MULTIHOST", "0") == "1":
+        jax.distributed.initialize()
+
+
+def resolve_mesh_shape(mesh_shape: Sequence[int],
+                       num_devices: int | None = None) -> tuple[int, ...]:
+    """Resolve -1 entries ("all remaining devices") in the mesh shape."""
+    num_devices = num_devices or len(jax.devices())
+    shape = list(mesh_shape)
+    fixed = int(np.prod([s for s in shape if s != -1]))
+    n_wild = sum(1 for s in shape if s == -1)
+    if n_wild > 1:
+        raise ValueError(f"at most one -1 in mesh_shape, got {mesh_shape}")
+    if n_wild == 1:
+        if num_devices % fixed != 0:
+            raise ValueError(
+                f"mesh_shape {mesh_shape} does not divide {num_devices} devices")
+        shape[shape.index(-1)] = num_devices // fixed
+    if int(np.prod(shape)) != num_devices:
+        raise ValueError(
+            f"mesh_shape {shape} != device count {num_devices}")
+    return tuple(shape)
+
+
+def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1),
+              axis_names: Sequence[str] = ("data", "fsdp", "tensor"),
+              devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Create the global device mesh.
+
+    Axes: ``data`` (pure DP — the reference's only strategy, SURVEY.md §2D),
+    ``fsdp`` (parameter/optimizer sharding), ``tensor`` (megatron-style TP for
+    t5-3b/11b geometries).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = resolve_mesh_shape(mesh_shape, len(devices))
+    device_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(device_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Input batches are sharded over the combined data-like axes."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> tuple[int, int]:
+    """(start, size) of this host's shard of the global batch.
+
+    Per-host data sharding replaces the reference's ``DistributedSampler``
+    (/root/reference/modules/loader.py:87).
+    """
+    n_proc = jax.process_count()
+    if global_batch % n_proc != 0:
+        raise ValueError(f"global batch {global_batch} % hosts {n_proc} != 0")
+    per = global_batch // n_proc
+    return jax.process_index() * per, per

@@ -1,0 +1,35 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+This is JAX's standard fake-multi-device trick (SURVEY.md §4): all sharding /
+collective logic is exercised on CPU without TPU hardware.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# Unit tests must run on the virtual CPU mesh — fp32 golden comparisons are
+# meaningless on a chip's bf16 matmul passes. The outer environment both pins
+# JAX_PLATFORMS to the real TPU *and* registers its backend from a
+# sitecustomize at interpreter startup, so env vars are too late; override
+# through jax.config instead. TPU-targeted tests opt back in via
+# KLAB_TEST_PLATFORM=tpu.
+_platform = os.environ.get("KLAB_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+if _platform == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
