@@ -123,18 +123,16 @@ def convert_t5_encoder(sd: Mapping[str, Any], size: T5Size) -> Params:
 def convert_swinv2(sd: Mapping[str, Any], size: SwinV2Size) -> Params:
     """HF ``Swinv2Model`` state_dict -> framework ``SwinV2Encoder`` params."""
     p: Params = {
-        "patch_embed": {
-            "proj": {
-                # conv (out,in,kh,kw) -> flax (kh,kw,in,out)
-                "kernel": _np(
-                    sd["embeddings.patch_embeddings.projection.weight"]
-                ).transpose(2, 3, 1, 0),
-                "bias": _np(sd["embeddings.patch_embeddings.projection.bias"]),
-            },
-            "norm": {
-                "weight": _np(sd["embeddings.norm.weight"]),
-                "bias": _np(sd["embeddings.norm.bias"]),
-            },
+        "patch_embed_proj": {
+            # conv (out,in,kh,kw) -> flax (kh,kw,in,out)
+            "kernel": _np(
+                sd["embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": _np(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "patch_embed_norm": {
+            "weight": _np(sd["embeddings.norm.weight"]),
+            "bias": _np(sd["embeddings.norm.bias"]),
         },
         "final_norm": {
             "weight": _np(sd["layernorm.weight"]),
@@ -142,11 +140,10 @@ def convert_swinv2(sd: Mapping[str, Any], size: SwinV2Size) -> Params:
         },
     }
     for si, depth in enumerate(size.depths):
-        stage: Params = {}
         for li in range(depth):
             pre = f"encoder.layers.{si}.blocks.{li}."
             a = pre + "attention.self."
-            blk = {
+            p[f"stage_{si}_block_{li}"] = {
                 "attn": {
                     "logit_scale": _np(sd[a + "logit_scale"]).reshape(-1),
                     "cpb_fc1": {"kernel": _t(_np(
@@ -176,13 +173,11 @@ def convert_swinv2(sd: Mapping[str, Any], size: SwinV2Size) -> Params:
                             "bias": _np(sd[pre + "output.dense.bias"])},
                 },
             }
-            stage[f"block_{li}"] = blk
         if si < len(size.depths) - 1:
             dpre = f"encoder.layers.{si}.downsample."
-            stage["downsample"] = {
+            p[f"stage_{si}_downsample"] = {
                 "reduction": {"kernel": _t(_np(sd[dpre + "reduction.weight"]))},
                 "norm": {"weight": _np(sd[dpre + "norm.weight"]),
                          "bias": _np(sd[dpre + "norm.bias"])},
             }
-        p[f"stage_{si}"] = stage
     return p

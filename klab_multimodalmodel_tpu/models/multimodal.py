@@ -1,0 +1,139 @@
+"""The multimodal captioning/denoising model — the reference's ``MyModel``.
+
+Architecture (``/root/reference/models/model.py:8-28``): a SwinV2 image
+encoder and a *frozen* T5 text encoder produce embeddings which are
+concatenated along the sequence axis and fed as ``inputs_embeds`` into a full
+T5 encoder-decoder — a three-tower cascade where image+text embeddings act as
+soft prompts re-encoded by the main T5's own encoder.
+
+Deliberate divergences from the reference (each with an escape hatch):
+  * quirk #8 fix: an optional identity-initialized projection maps vision
+    features to the transformer ``d_model`` when they differ (the reference
+    hard-crashes for e.g. swinv2-base + t5-base);
+  * quirk #3 fix: attention masks cover pad positions and pad tokens are
+    excluded from the loss unless ``reference_pad_quirks`` is set;
+  * the frozen towers use ``stop_gradient`` (JAX's no_grad) *and* are
+    excluded from optimizer updates at the train-state level (quirk #1 fix).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .swinv2 import SwinV2Encoder
+from .t5 import Seq2SeqOutput, T5Encoder, T5ForConditionalGeneration
+
+Dtype = Any
+
+
+def _identity_or_normal(rng, shape, dtype=jnp.float32):
+    """Identity init when square (no-op at init for matching dims)."""
+    if shape[0] == shape[1]:
+        return jnp.eye(shape[0], dtype=dtype)
+    return nn.initializers.lecun_normal()(rng, shape, dtype)
+
+
+class MultiModalModel(nn.Module):
+    """SwinV2 + frozen T5 encoder -> seq-concat -> T5 enc-dec."""
+
+    config: Config
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.image_model = SwinV2Encoder(cfg.swin, dtype=self.dtype,
+                                         name="image_model")
+        self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
+                                        name="language_model")
+        self.transformer = T5ForConditionalGeneration(
+            cfg.transformer_t5, dtype=self.dtype, remat=cfg.remat,
+            name="transformer")
+        d_model = cfg.transformer_t5.d_model
+        vis_dim = cfg.swin.num_features
+        self.needs_vision_proj = (
+            cfg.use_vision_projection or vis_dim != d_model)
+        if self.needs_vision_proj:
+            self.vision_projection = nn.Dense(
+                d_model, use_bias=False, dtype=self.dtype,
+                kernel_init=_identity_or_normal, name="vision_projection")
+        lang_dim = cfg.language_t5.d_model
+        self.needs_lang_proj = lang_dim != d_model
+        if self.needs_lang_proj:
+            self.language_projection = nn.Dense(
+                d_model, use_bias=False, dtype=self.dtype,
+                kernel_init=nn.initializers.lecun_normal(),
+                name="language_projection")
+
+    # -- embedding cascade -------------------------------------------------
+    def encode_multimodal(self, images: jax.Array, source_ids: jax.Array,
+                          source_mask: Optional[jax.Array] = None,
+                          deterministic: bool = True
+                          ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """images (B,H,W,3) + token ids -> (concat_embeds, concat_mask).
+
+        Mirrors ``MyModel.forward`` up to the concat
+        (``/root/reference/models/model.py:20-23``): language tower always
+        frozen; image tower frozen unless ``--image_model_train``.
+        """
+        cfg = self.config
+        lang = self.language_model(input_ids=source_ids,
+                                   attention_mask=source_mask,
+                                   deterministic=deterministic)
+        lang = jax.lax.stop_gradient(lang)  # torch.no_grad parity
+        img = self.image_model(images, deterministic=deterministic)
+        if not cfg.image_model_train:
+            img = jax.lax.stop_gradient(img)
+        if self.needs_vision_proj:
+            img = self.vision_projection(img)
+        if self.needs_lang_proj:
+            lang = self.language_projection(lang)
+        concat = jnp.concatenate([img, lang], axis=1)
+        if source_mask is None:
+            return concat, None
+        img_mask = jnp.ones(img.shape[:2], source_mask.dtype)
+        return concat, jnp.concatenate([img_mask, source_mask], axis=1)
+
+    # -- training forward --------------------------------------------------
+    def __call__(self, images: jax.Array, source_ids: jax.Array,
+                 target_ids: jax.Array,
+                 source_mask: Optional[jax.Array] = None,
+                 target_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> Seq2SeqOutput:
+        cfg = self.config
+        if cfg.reference_pad_quirks:
+            # Bit-parity mode: no attention masks anywhere, pads in the loss
+            # (quirk #3, /root/reference/models/model.py:21,26).
+            source_mask = None
+            target_mask = None
+        concat, concat_mask = self.encode_multimodal(
+            images, source_ids, source_mask, deterministic)
+        label_weights = None
+        if target_mask is not None:
+            label_weights = target_mask.astype(jnp.float32)
+        return self.transformer(
+            inputs_embeds=concat, attention_mask=concat_mask,
+            labels=target_ids, label_weights=label_weights,
+            deterministic=deterministic)
+
+    # -- generation entry (encoder half; the decode loop lives in infer/) --
+    def encode_for_generation(self, images: jax.Array, source_ids: jax.Array,
+                              source_mask: Optional[jax.Array] = None
+                              ) -> tuple[jax.Array, Optional[jax.Array]]:
+        concat, concat_mask = self.encode_multimodal(
+            images, source_ids, source_mask, deterministic=True)
+        enc = self.transformer.encode(inputs_embeds=concat,
+                                      attention_mask=concat_mask,
+                                      deterministic=True)
+        return enc, concat_mask
+
+    def decode_step(self, token: jax.Array, step: jax.Array,
+                    encoder_hidden: jax.Array, max_decode_len: int,
+                    encoder_mask: Optional[jax.Array] = None) -> jax.Array:
+        return self.transformer.decode_step(
+            token, step, encoder_hidden, max_decode_len,
+            encoder_attention_mask=encoder_mask)
