@@ -1,0 +1,169 @@
+"""Datasets: MSCOCO captions, RedCaps span-corruption, synthetic.
+
+Behavioral parity with ``/root/reference/modules/loader.py``:
+  * COCO: ``captions_{phase}2017.json``, **first caption only** per image
+    (line 35), fixed prompt ``'What does th image describe ?'`` — typo
+    preserved (line 38);
+  * RedCaps: eagerly indexes ``annotations/*.json``; per-sample dynamic
+    span corruption; the reference ignores ``phase`` (train and val iterate
+    identical data — quirk documented in SURVEY.md §2A), reproduced here;
+  * images: decode -> RGB -> resize 256x256 on the host; normalization runs
+    on-device (``image_ops.normalize_images``), fixing the double-preprocess
+    quirk #5 (reference resizes+rescales in the dataset *and* re-runs the HF
+    processor per step on the hot path, ``/root/reference/train.py:55``).
+
+Items are ``(image_uint8 (H,W,3), src_text, tgt_text)``; tokenization and
+batching live in ``pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from ..text.span_corruption import span_corrupt
+from .coco import CocoIndex
+
+COCO_PROMPT = "What does th image describe ?"  # sic — loader.py:38
+
+
+def load_image_resized(path: str, size: int = 256) -> np.ndarray:
+    """PIL decode -> RGB -> bilinear resize -> (size, size, 3) uint8."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size))
+        return np.asarray(im, dtype=np.uint8)
+
+
+class DatasetBase:
+    """Indexable dataset of (image, src_text, tgt_text)."""
+
+    image_size: int = 256
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, str, str]:
+        raise NotImplementedError
+
+    def set_epoch(self, epoch: int) -> None:
+        """Per-epoch reseed hook (fixes the reference's missing
+        ``sampler.set_epoch``, SURVEY.md §2A dataloader row)."""
+
+
+class CocoCaptionDataset(DatasetBase):
+    def __init__(self, data_dir: str, phase: str = "train",
+                 image_size: int = 256):
+        anno_path = os.path.join(data_dir, "annotations",
+                                 f"captions_{phase}2017.json")
+        coco = CocoIndex(anno_path)
+        img_dir = os.path.join(data_dir, f"{phase}2017")
+        self.image_size = image_size
+        self.images: list[str] = []
+        self.captions: list[str] = []
+        for image_id in coco.getImgIds():
+            info = coco.loadImgs(image_id)[0]
+            anns = coco.loadAnns(coco.getAnnIds(image_id))
+            if not anns:
+                continue
+            self.images.append(os.path.join(img_dir, info["file_name"]))
+            self.captions.append(anns[0]["caption"])  # first caption only
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        img = load_image_resized(self.images[idx], self.image_size)
+        return img, COCO_PROMPT, self.captions[idx]
+
+
+class RedCapsDataset(DatasetBase):
+    """Self-supervised span-corruption pretraining on RedCaps."""
+
+    def __init__(self, data_dir: str, phase: str = "train",
+                 image_size: int = 256, seed: int = 0):
+        anno_dir = os.path.join(data_dir, "annotations")
+        img_dir = os.path.join(data_dir, "images")
+        self.image_size = image_size
+        self.seed = seed
+        self.epoch = 0
+        self.images: list[str] = []
+        self.raw_captions: list[str] = []
+        for name in sorted(os.listdir(anno_dir)):
+            with open(os.path.join(anno_dir, name)) as f:
+                annotations = json.load(f)
+            for ann in annotations["annotations"]:
+                self.images.append(os.path.join(
+                    img_dir, ann["subreddit"], f"{ann['image_id']}.jpg"))
+                self.raw_captions.append(ann["raw_caption"])
+        # NOTE: like the reference (loader.py:42-54), ``phase`` does not
+        # split the data — train and val see the same examples.
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 2_654_435_761 + idx)
+        src, tgt = span_corrupt(self.raw_captions[idx], rng)
+        img = load_image_resized(self.images[idx], self.image_size)
+        return img, src, tgt
+
+
+class SyntheticCaptionDataset(DatasetBase):
+    """Deterministic in-memory dataset for tests/benchmarks (no disk IO)."""
+
+    _CAPTIONS = [
+        "A man with a red helmet on a small moped on a dirt road.",
+        "A dog jumps over a wooden fence in a park.",
+        "Two cats sit on a sunny window sill.",
+        "A plate of food with rice and vegetables on a table.",
+    ]
+
+    def __init__(self, n: int = 64, image_size: int = 256, seed: int = 0,
+                 pretrain: bool = False):
+        self.n = n
+        self.image_size = image_size
+        self.seed = seed
+        self.pretrain = pretrain
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(self.seed + idx)
+        img = rng.integers(0, 256, size=(self.image_size, self.image_size, 3),
+                           dtype=np.uint8)
+        caption = self._CAPTIONS[idx % len(self._CAPTIONS)]
+        if self.pretrain:
+            crng = np.random.default_rng(self.seed + self.epoch * 131 + idx)
+            src, tgt = span_corrupt(caption, crng)
+            return img, src, tgt
+        return img, COCO_PROMPT, caption
+
+
+def build_dataset(data_dir: str, phase: str, image_size: int = 256,
+                  seed: int = 0) -> DatasetBase:
+    """Dataset dispatch by substring of ``data_dir`` — the reference's
+    factory rule (``/root/reference/modules/loader.py:80-85``), extended
+    with a 'synthetic' option."""
+    low = data_dir.lower()
+    if "mscoco" in low:
+        return CocoCaptionDataset(data_dir, phase, image_size)
+    if "redcaps" in low:
+        return RedCapsDataset(data_dir, phase, image_size, seed)
+    if "synthetic" in low:
+        return SyntheticCaptionDataset(image_size=image_size, seed=seed,
+                                       pretrain="pretrain" in low)
+    raise NotImplementedError(f"no dataset for data_dir={data_dir!r}")

@@ -1,0 +1,155 @@
+"""Host input pipeline: sharded, shuffled, prefetching batch assembly.
+
+TPU-native replacement for the reference's ``DataLoader +
+DistributedSampler`` (``/root/reference/modules/loader.py:87-88``):
+
+  * per-host sharding keyed on ``jax.process_index()`` (the reference keys on
+    the *local device count* — a single-node assumption);
+  * epoch-seeded shuffling (the reference never calls ``set_epoch`` so its
+    shuffle order repeats every epoch — fixed here, reproducible via seed);
+  * ``drop_last`` semantics as in the reference (sampler ``drop_last=True``);
+  * worker threads decode+resize images while batches are assembled, and a
+    background prefetcher keeps ``prefetch`` batches ready so the TPU step
+    never waits on the host;
+  * tokenization to **fixed** max lengths (XLA static shapes) instead of the
+    reference's per-batch 'longest' padding (``/root/reference/train.py:56``).
+
+Batches are plain numpy dicts: images uint8 (B,H,W,3) — normalization happens
+on-device (``image_ops``) — plus source/target ids and masks, int32 (B,L).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from ..text.tokenizer import TokenizerBase
+from .datasets import DatasetBase
+
+
+class Batch(dict):
+    @property
+    def size(self) -> int:
+        return self["images"].shape[0]
+
+
+class DataLoader:
+    def __init__(self, dataset: DatasetBase, tokenizer: TokenizerBase,
+                 global_batch_size: int, max_source_length: int = 256,
+                 max_target_length: int = 128, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int | None = None, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        if global_batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {global_batch_size} % hosts {process_count}")
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.global_batch_size = global_batch_size
+        self.local_batch_size = global_batch_size // process_count
+        self.max_source_length = max_source_length
+        self.max_target_length = max_target_length
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers or max((os.cpu_count() or 4) // 4, 1)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return -(-n // self.global_batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng(
+                self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        num_batches = len(self)
+        usable = num_batches * self.global_batch_size
+        order = order[:usable]
+        # contiguous per-batch blocks; this host takes its slice of each
+        local = order.reshape(num_batches, self.process_count,
+                              self.local_batch_size)[:, self.process_index]
+        return local  # (num_batches, local_batch_size)
+
+    def _assemble(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Batch:
+        items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))
+        images = np.stack([it[0] for it in items])
+        src = self.tokenizer([it[1] for it in items],
+                             max_length=self.max_source_length)
+        tgt = self.tokenizer([it[2] for it in items],
+                             max_length=self.max_target_length)
+        return Batch(images=images,
+                     source_ids=src.input_ids, source_mask=src.attention_mask,
+                     target_ids=tgt.input_ids, target_mask=tgt.attention_mask)
+
+    def __iter__(self) -> Iterator[Batch]:
+        batches = self._epoch_indices()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(b, pool))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
+
+
+def get_dataloader(config, phase: str, tokenizer: TokenizerBase,
+                   num_devices: int | None = None) -> DataLoader:
+    """Factory mirroring the reference's ``get_dataloader(args, phase, rank)``
+    (``/root/reference/modules/loader.py:79-89``): per-chip ``batch_size``
+    times the device count gives the global batch."""
+    import jax
+
+    from .datasets import build_dataset
+
+    dataset = build_dataset(config.data_dir, phase, config.swin.image_size,
+                            config.seed)
+    n_dev = num_devices if num_devices is not None else jax.device_count()
+    return DataLoader(
+        dataset, tokenizer,
+        global_batch_size=config.batch_size * n_dev,
+        max_source_length=config.max_source_length,
+        max_target_length=config.max_target_length,
+        shuffle=(phase == "train"), seed=config.seed,
+        num_workers=config.num_workers or None,
+        prefetch=config.prefetch_batches,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
