@@ -1,0 +1,73 @@
+"""Checkpoint save/restore (orbax).
+
+Parity with the reference's artifacts (``/root/reference/models/model.py:
+30-42``, ``train.py:84-104``): checkpoints named ``best`` / ``epoch_N`` /
+``step_N`` under the result dir. Beyond the reference (which saves model
+subtrees only and supports no training resume — SURVEY.md §5), each
+checkpoint here is the **full train state** (params, optimizer moments, step)
+plus a metadata JSON (epoch, min_val_loss, loss history), enabling true
+deterministic resume. Sharded arrays are saved per-shard by orbax — no host
+gather of the full model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, result_dir: str):
+        self.base = os.path.abspath(os.path.join(result_dir, "checkpoints"))
+        os.makedirs(self.base, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    # -- save --------------------------------------------------------------
+    def save(self, name: str, state: Any,
+             metadata: Optional[dict] = None) -> str:
+        path = self.path(name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        if metadata is not None and jax.process_index() == 0:
+            with open(os.path.join(self.base, f"{name}.meta.json"),
+                      "w") as f:
+                json.dump(metadata, f)
+        return path
+
+    # -- restore -----------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def restore(self, name: str, target: Any) -> Any:
+        """Restore into the structure/shardings of ``target`` (a concrete
+        state from ``Trainer.init_state`` or an abstract ShapeDtypeStruct
+        tree with shardings)."""
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return self._ckptr.restore(self.path(name), abstract)
+
+    def load_metadata(self, name: str) -> Optional[dict]:
+        p = os.path.join(self.base, f"{name}.meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # -- resume discovery --------------------------------------------------
+    def latest(self) -> Optional[str]:
+        """Most recent interval checkpoint name (epoch_N/step_N), if any."""
+        best_n, best_name = -1, None
+        for entry in os.listdir(self.base):
+            m = re.fullmatch(r"(epoch|step)_(\d+)", entry)
+            if m and os.path.isdir(os.path.join(self.base, entry)):
+                n = int(m.group(2))
+                if n > best_n:
+                    best_n, best_name = n, entry
+        return best_name

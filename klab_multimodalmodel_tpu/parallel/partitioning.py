@@ -1,0 +1,103 @@
+"""Parameter partitioning: path-regex -> PartitionSpec rules.
+
+TPU-native replacement for the reference's replicate-everything DDP
+(``/root/reference/train.py:26``): parameters get named shardings over the
+``(data, fsdp, tensor)`` mesh and the XLA SPMD partitioner inserts all
+collectives. The same rules apply transitively to optimizer moments (their
+trees mirror the param tree).
+
+Axes:
+  * ``data``   — pure data parallel (batch only; params replicated);
+  * ``fsdp``   — ZeRO-style parameter/optimizer sharding on one weight axis;
+  * ``tensor`` — megatron TP: attention heads / MLP hidden / vocab sharded
+    (warranted because t5-3b/11b are in the reference's flag choices,
+    ``/root/reference/modules/config.py:8-9``).
+
+Scanned stacks have a leading layer axis (never sharded). Rules match on the
+``/``-joined parameter path suffix.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# (regex, spec for the *trailing* dims). Specs are padded on the left with
+# None for any leading (layer) axes at application time.
+_RULES: list[tuple[str, P]] = [
+    # T5 attention: qkv project d_model -> heads*d_kv (shard heads on tensor,
+    # d_model on fsdp); o projects back.
+    (r"SelfAttention/(q|k|v)/kernel$", P("fsdp", "tensor")),
+    (r"SelfAttention/o/kernel$", P("tensor", "fsdp")),
+    (r"EncDecAttention/(q|k|v)/kernel$", P("fsdp", "tensor")),
+    (r"EncDecAttention/o/kernel$", P("tensor", "fsdp")),
+    # T5 MLP: wi expands (shard d_ff on tensor), wo contracts.
+    (r"mlp/wi/kernel$", P("fsdp", "tensor")),
+    (r"mlp/wo/kernel$", P("tensor", "fsdp")),
+    # Embeddings / LM head: shard vocab on tensor (XLA handles the gather).
+    (r"shared/embedding$", P("tensor", "fsdp")),
+    (r"lm_head/kernel$", P("fsdp", "tensor")),
+    # Relative position bias tables: tiny, replicate.
+    (r"relpos_bias/embedding$", P(None, None)),
+    # SwinV2: attention + MLP dense layers (in, out).
+    (r"attn/(q|k|v)/kernel$", P("fsdp", "tensor")),
+    (r"attn/proj/kernel$", P("tensor", "fsdp")),
+    (r"attn/(q|v)/bias$", P("tensor")),
+    (r"attn/proj/bias$", P("fsdp")),
+    (r"attn/logit_scale$", P(None)),
+    (r"attn/cpb_fc[12]/(kernel|bias)$", P(None, None)),
+    (r"(fc1|fc2)/kernel$", P("fsdp", "tensor")),
+    (r"(fc1|fc2)/bias$", P("tensor")),
+    (r"reduction/kernel$", P("fsdp", "tensor")),
+    (r"patch_embed_proj/kernel$", P(None, None, None, "tensor")),
+    (r"patch_embed_proj/bias$", P("tensor")),
+    # Projections between towers.
+    (r"(vision|language)_projection/kernel$", P("fsdp", "tensor")),
+    # Norm scales / biases: replicate.
+    (r"(weight|bias|scale)$", P(None)),
+]
+
+
+def spec_for_path(path: str, ndim: int) -> P:
+    """PartitionSpec for one parameter, padded to its rank."""
+    for pattern, spec in _RULES:
+        if re.search(pattern, path):
+            trailing = tuple(spec)
+            if len(trailing) > ndim:
+                # e.g. a rank-1 param matched a rank-2 rule: replicate.
+                return P(*([None] * ndim))
+            return P(*([None] * (ndim - len(trailing)) + list(trailing)))
+    return P(*([None] * ndim))
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def make_param_specs(params: Any) -> Any:
+    """Param pytree -> pytree of PartitionSpecs (same structure)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), leaf.ndim), params)
+
+
+def make_shardings(tree_of_specs: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), tree_of_specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+    return make_shardings(make_param_specs(params), mesh)
+
+
+def batch_spec() -> P:
+    """Input batches: leading dim over the combined data-like axes."""
+    return P(("data", "fsdp"))
+
+
+def shard_batch_specs(batch_example: Any) -> Any:
+    return jax.tree.map(lambda _: batch_spec(), batch_example)

@@ -1,0 +1,3 @@
+from .loop import train
+from .optim import make_lr_schedule, make_optimizer, trainable_labels
+from .trainer import Trainer, TrainState

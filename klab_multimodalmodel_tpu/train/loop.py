@@ -1,0 +1,150 @@
+"""The training driver — epoch loop, validation, checkpointing, logging.
+
+Control-flow parity with ``/root/reference/train.py:11-106``:
+  * epochs resolved from ``num_steps`` as ``int(num_steps/len(loader)) + 1``
+    (train.py:45-46);
+  * ``min_val_loss`` initialized to the literal 100 (train.py:48, quirk #7);
+  * best-model save on val-loss improvement, interval saves named
+    ``epoch_N`` / ``step_N`` — step-mode checked once per epoch exactly like
+    the reference (train.py:94-104);
+  * per-epoch mean train/val losses logged and plotted to ``loss.png``.
+
+TPU-native differences: one jit-compiled step (grad accumulation inside),
+device-side metrics (no per-step host sync), epoch-seeded shuffling, and
+full-train-state checkpoints with automatic resume (the reference cannot
+resume at all — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint.io import CheckpointManager
+from ..config import Config
+from ..data.pipeline import DataLoader, get_dataloader
+from ..obs.logger import get_logger
+from ..obs.metrics import LossCounter
+from ..text.tokenizer import load_tokenizer
+from ..utils.mesh import make_mesh, maybe_init_distributed
+from .trainer import Trainer
+
+
+def train(config: Config,
+          train_loader: Optional[DataLoader] = None,
+          val_loader: Optional[DataLoader] = None,
+          resume: bool = True) -> dict:
+    """Run training; returns a summary dict (final state, loss history)."""
+    maybe_init_distributed()
+    mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
+    is_main = jax.process_index() == 0
+
+    logger = get_logger(config.result_dir)
+    if is_main:
+        config.save()
+        logger.info(config)
+
+    tokenizer = load_tokenizer(config.tokenizer_path)
+    if train_loader is None:
+        train_loader = get_dataloader(config, "train", tokenizer)
+    if val_loader is None:
+        val_loader = get_dataloader(config, "val", tokenizer)
+
+    num_epochs = config.num_epochs
+    if num_epochs is None:
+        num_epochs = int(config.num_steps / len(train_loader)) + 1
+
+    accum = max(config.accumulation_steps, 1)
+    opt_steps_per_epoch = max(len(train_loader) // accum, 1)
+
+    trainer = Trainer(config, mesh, num_epochs=num_epochs)
+    state = trainer.init_state(jax.random.PRNGKey(config.seed),
+                               train_loader.global_batch_size)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    logger.info(f"model parameters: {n_params:,}")
+
+    ckpt = CheckpointManager(config.result_dir)
+    start_epoch = 1
+    steps = 0
+    min_val_loss = 100  # literal parity with train.py:48
+    if resume and ckpt.latest() is not None:
+        name = ckpt.latest()
+        state = ckpt.restore(name, state)
+        meta = ckpt.load_metadata(name) or {}
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        steps = int(meta.get("steps", int(state.step)))
+        min_val_loss = float(meta.get("min_val_loss", 100))
+        logger.info(f"resumed from {name} (epoch {start_epoch - 1})")
+
+    loss_counter = LossCounter(opt_steps_per_epoch, max(len(val_loader), 1))
+    dropout_rng = jax.random.PRNGKey(config.seed + 1)
+
+    for epoch in range(start_epoch, num_epochs + 1):
+        train_loader.set_epoch(epoch)
+        epoch_t0 = time.perf_counter()
+        images_seen = 0
+
+        micro_group: list = []
+        for batch in train_loader:
+            micro_group.append(batch)
+            if len(micro_group) < accum:
+                continue
+            merged = {k: np.concatenate([m[k] for m in micro_group])
+                      for k in micro_group[0]}
+            micro_group = []
+            device_batch = trainer.device_put_batch(merged)
+            dropout_rng, step_rng = jax.random.split(dropout_rng)
+            state, loss = trainer.train_step(state, device_batch, step_rng)
+            loss_counter.add_loss("train", loss)
+            steps += 1
+            images_seen += merged["images"].shape[0]
+        # NOTE: leftover microbatches (< accum) are dropped; the reference
+        # instead runs a ragged final update (train.py:65) — divergence
+        # documented in PARITY.md.
+
+        for batch in val_loader:
+            device_batch = trainer.device_put_batch(batch)
+            loss = trainer.eval_step(state.params, device_batch)
+            loss_counter.add_loss("val", loss)
+
+        train_loss, val_loss = loss_counter.count_and_get_loss()
+        dt = time.perf_counter() - epoch_t0
+        ips = images_seen / dt if dt > 0 else 0.0
+        if is_main:
+            logger.info(
+                f"[Epoch ({epoch}/{num_epochs})] Train loss : {train_loss}, "
+                f"Val loss : {val_loss} "
+                f"({ips:.1f} img/s, {ips / max(jax.device_count(), 1):.1f} "
+                f"img/s/chip)")
+
+            meta = {"epoch": epoch, "steps": steps,
+                    "min_val_loss": min_val_loss,
+                    "train_loss": train_loss, "val_loss": val_loss}
+            if val_loss < min_val_loss:
+                min_val_loss = val_loss
+                meta["min_val_loss"] = min_val_loss
+                logger.info("Best Model saving...")
+                ckpt.save("best", state, meta)
+                logger.info("Best Model saved")
+
+            if config.save_interval is not None:
+                if config.num_steps is None:
+                    if epoch % config.save_interval == 0:
+                        ckpt.save(f"epoch_{epoch}", state, meta)
+                        logger.info(f"Model epoch_{epoch} saved")
+                else:
+                    # step-mode quirk preserved: checked once per epoch
+                    # (train.py:101-104).
+                    if steps % config.save_interval == 0:
+                        ckpt.save(f"step_{steps}", state, meta)
+                        logger.info(f"Model step_{steps} saved")
+
+    if is_main:
+        loss_counter.plot_loss(config.result_dir)
+    return {"state": state, "losses": loss_counter.losses,
+            "min_val_loss": min_val_loss, "steps": steps,
+            "trainer": trainer}

@@ -1,0 +1,189 @@
+"""Training stack tests: schedules vs torch, sharded end-to-end training,
+freezing semantics, checkpoint/resume. Runs on the 8-device virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
+                                             register_swin_size,
+                                             register_t5_size)
+from klab_multimodalmodel_tpu.data import DataLoader, SyntheticCaptionDataset
+from klab_multimodalmodel_tpu.text import ByteTokenizer
+from klab_multimodalmodel_tpu.train import (Trainer, make_lr_schedule, train,
+                                            trainable_labels)
+from klab_multimodalmodel_tpu.utils import make_mesh
+
+register_t5_size("t5-micro", T5Size(
+    d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+    num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+    relative_attention_max_distance=16, dropout_rate=0.0))
+register_swin_size("swin-micro", SwinV2Size(
+    image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+    num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+    pretrained_window_sizes=(0, 0)))
+
+
+def micro_config(tmp_path, **kw):
+    defaults = dict(
+        language_model_name="t5-micro", transformer_model_name="t5-micro",
+        image_model_name="swin-micro", max_source_length=48,
+        max_target_length=24, batch_size=1, lr=1e-3,
+        result_dir=str(tmp_path / "results"), data_dir="synthetic",
+        compute_dtype="float32", num_epochs=1, mesh_shape=(-1, 1, 1))
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# LR schedules vs torch (reference train.py:29-36 + per-step stepping quirk)
+# ---------------------------------------------------------------------------
+
+
+def test_lr_schedules_match_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    num_epochs = 10
+    lr0 = 0.5
+    for name in ("cosine", "linear", "exponential", "step"):
+        cfg = micro_config(tmp_path, lr=lr0, lr_scheduler=name,
+                           num_epochs=num_epochs)
+        sched = make_lr_schedule(cfg, num_epochs)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=lr0)
+        if name == "cosine":
+            ts = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=num_epochs, eta_min=0)
+        elif name == "linear":
+            ts = torch.optim.lr_scheduler.LambdaLR(
+                opt, lr_lambda=lambda e: 1 - (e / num_epochs))
+        elif name == "exponential":
+            ts = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.9)
+        else:
+            ts = torch.optim.lr_scheduler.StepLR(opt, step_size=10, gamma=0.1)
+        # scheduler.step() fires per optimizer step (train.py:69)
+        for step in range(num_epochs):  # stay inside the valid horizon
+            np.testing.assert_allclose(float(sched(step)),
+                                       opt.param_groups[0]["lr"],
+                                       rtol=1e-6, atol=1e-9,
+                                       err_msg=f"{name} @ step {step}")
+            opt.step()
+            ts.step()
+
+
+# ---------------------------------------------------------------------------
+# Freezing labels (quirk #1 semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_trainable_labels(tmp_path):
+    params = {"language_model": {"w": 0}, "image_model": {"w": 0},
+              "transformer": {"w": 0}, "vision_projection": {"kernel": 0}}
+    # default: image tower frozen (not --image_model_train)
+    labels = trainable_labels(params, micro_config(tmp_path))
+    assert labels["language_model"]["w"] == "frozen"
+    assert labels["image_model"]["w"] == "frozen"
+    assert labels["transformer"]["w"] == "train"
+    assert labels["vision_projection"]["kernel"] == "train"
+    # --image_model_train: image tower joins the optimizer (quirk #1 FIXED)
+    labels = trainable_labels(
+        params, micro_config(tmp_path, image_model_train=True))
+    assert labels["image_model"]["w"] == "train"
+    # bit-parity mode: reference never updates Swin (train.py:28)
+    labels = trainable_labels(
+        params, micro_config(tmp_path, image_model_train=True,
+                             freeze_image_model_updates=True))
+    assert labels["image_model"]["w"] == "frozen"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end sharded training
+# ---------------------------------------------------------------------------
+
+
+def _make_loader(cfg, n=16, n_dev=8):
+    ds = SyntheticCaptionDataset(n=n, image_size=cfg.swin.image_size)
+    return DataLoader(ds, ByteTokenizer(), global_batch_size=cfg.batch_size
+                      * n_dev, max_source_length=cfg.max_source_length,
+                      max_target_length=cfg.max_target_length, seed=0)
+
+
+def test_train_step_dp_fsdp(tmp_path):
+    """One update on a (2,2,2) data/fsdp/tensor mesh: loss finite, frozen
+    towers unchanged, transformer moves."""
+    cfg = micro_config(tmp_path, mesh_shape=(2, 2, 2), batch_size=1)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+    loader = _make_loader(cfg)
+    batch = next(iter(loader))
+    device_batch = trainer.device_put_batch(batch)
+
+    before = jax.device_get(state.params)
+    state, loss = trainer.train_step(state, device_batch,
+                                     jax.random.PRNGKey(1))
+    after = jax.device_get(state.params)
+    assert np.isfinite(float(loss))
+
+    def delta(tree_a, tree_b):
+        return sum(float(np.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)))
+
+    assert delta(before["language_model"], after["language_model"]) == 0.0
+    assert delta(before["image_model"], after["image_model"]) == 0.0
+    assert delta(before["transformer"], after["transformer"]) > 0.0
+
+    # eval step agrees in magnitude
+    vloss = trainer.eval_step(state.params, device_batch)
+    assert np.isfinite(float(vloss))
+
+
+def test_grad_accumulation_equivalence(tmp_path):
+    """accum=2 over a batch == accum=1 over the same batch (mean grads)."""
+    cfg1 = micro_config(tmp_path, accumulation_steps=1)
+    cfg2 = micro_config(tmp_path, accumulation_steps=2)
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    loader = _make_loader(cfg1, n_dev=8)
+    batch = next(iter(loader))
+
+    losses = []
+    params_after = []
+    for cfg in (cfg1, cfg2):
+        trainer = Trainer(cfg, mesh, num_epochs=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), 8)
+        db = trainer.device_put_batch(batch)
+        state, loss = trainer.train_step(state, db, jax.random.PRNGKey(1))
+        losses.append(float(loss))
+        params_after.append(jax.device_get(state.params))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_after[0]),
+                    jax.tree.leaves(params_after[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_full_train_loop_and_resume(tmp_path):
+    """Two-epoch driver run: losses recorded, best checkpoint written,
+    resume restores and continues."""
+    cfg = micro_config(tmp_path, num_epochs=2, save_interval=1)
+    loader = _make_loader(cfg, n=16)
+    val_loader = _make_loader(cfg, n=8)
+    out = train(cfg, train_loader=loader, val_loader=val_loader,
+                resume=False)
+    assert len(out["losses"]["train"]) == 2
+    assert all(np.isfinite(v) for v in out["losses"]["val"])
+    import os
+    ckpt_dir = os.path.join(cfg.result_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
+    assert os.path.exists(os.path.join(cfg.result_dir, "loss.png"))
+    assert os.path.exists(os.path.join(cfg.result_dir, "train.log"))
+
+    # resume: runs only the remaining epochs (none -> immediately done),
+    # then extend to 3 epochs and confirm it continues from epoch 3.
+    cfg3 = micro_config(tmp_path, num_epochs=3, save_interval=1)
+    out2 = train(cfg3, train_loader=loader, val_loader=val_loader,
+                 resume=True)
+    assert len(out2["losses"]["train"]) == 1  # only epoch 3 ran
+    assert int(out2["steps"]) == 3 * len(loader)
