@@ -1,0 +1,1 @@
+from .generate import beam_search_decode, generate, greedy_decode

@@ -1,0 +1,104 @@
+"""Generation golden tests vs HF ``generate`` (the reference's inference
+path, /root/reference/models/model.py:28 + visualization.ipynb cells 3-8)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from klab_multimodalmodel_tpu.checkpoint import convert_t5_lm
+from klab_multimodalmodel_tpu.config import T5Size
+from klab_multimodalmodel_tpu.infer import (beam_search_decode,
+                                            greedy_decode)
+from klab_multimodalmodel_tpu.models import T5ForConditionalGeneration
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY = T5Size(d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+              num_heads=4, vocab_size=64, relative_attention_num_buckets=8,
+              relative_attention_max_distance=16, dropout_rate=0.0)
+
+
+@pytest.fixture(scope="module")
+def hf_lm():
+    torch.manual_seed(3)
+    cfg = transformers.T5Config(
+        vocab_size=TINY.vocab_size, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+        tie_word_embeddings=True)
+    return transformers.T5ForConditionalGeneration(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def setup(hf_lm):
+    model = T5ForConditionalGeneration(TINY)
+    params = convert_t5_lm(hf_lm.state_dict(), TINY)
+    return model, params
+
+
+def _encode_both(hf_lm, model, params, ids):
+    with torch.no_grad():
+        hf_enc = hf_lm.encoder(input_ids=torch.tensor(ids)).last_hidden_state
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    np.testing.assert_allclose(np.asarray(enc), hf_enc.numpy(), rtol=2e-4,
+                               atol=2e-4)
+    return enc
+
+
+def test_greedy_matches_hf(hf_lm, setup, rng):
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    max_length = 12
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=1,
+                             do_sample=False).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(greedy_decode(model, params, enc, None, max_length))
+    # HF trims finished batches to the longest sequence; compare the
+    # overlapping prefix and require pads after.
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
+    assert (ours[:, L:] == TINY.pad_token_id).all()
+
+
+def test_greedy_incremental_equals_full_forward(setup, rng):
+    """KV-cache decode must produce the same logits argmax chain as the
+    non-cached teacher-forced forward (internal consistency)."""
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(2, 5))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    toks = np.asarray(greedy_decode(model, params, enc, None, 10))
+    # re-score with the training decode path
+    logits = model.apply({"params": params},
+                         jnp.asarray(toks[:, :-1]), enc,
+                         method=model.decode_train)
+    next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+    for b in range(toks.shape[0]):
+        for t in range(toks.shape[1] - 1):
+            tok = toks[b, t + 1]
+            if tok == TINY.pad_token_id and toks[b, t] in (
+                    TINY.pad_token_id, TINY.eos_token_id):
+                break  # finished
+            assert next_tokens[b, t] == tok, (b, t, toks[b], next_tokens[b])
+
+
+def test_beam_search_matches_hf(hf_lm, setup, rng):
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(2, 6))
+    max_length = 10
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=3,
+                             do_sample=False, length_penalty=1.0,
+                             early_stopping=False).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(beam_search_decode(model, params, enc, None,
+                                         max_length, 3, 1.0))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
