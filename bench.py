@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: caption-training throughput, images/sec/chip on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Config: the reference's MSCOCO caption workload (SURVEY.md §6) — SwinV2-base
+256px vision tower + frozen T5 text encoder + T5 enc-dec transformer — with
+bf16 compute, device-side normalization, synthetic in-memory data (isolates
+device throughput; the host pipeline is prefetched and overlapped in real
+training).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is the FLOP-model estimate of the reference on A100 recorded in BASELINE.md
+(see "Estimated reference baseline"): ~55 images/sec/chip for the
+t5-base-geometry benchmark workload.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# FLOP-model estimate for the reference implementation on one A100 for THIS
+# benchmark's geometry (t5-base towers + swinv2-base, batch 32, seq 64+64/32).
+# Full derivation in BASELINE.md ("Estimated reference baseline"): ~123
+# GFLOP/image, HF-eager MFU ~15-20% on A100 (312 TF/s bf16 peak), plus the
+# reference's per-step host preprocessing (quirk #5 double image processing +
+# hot-path tokenization, train.py:55-57) and per-step .item() sync.
+BASELINE_IMAGES_PER_SEC_PER_CHIP = 240.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.train import Trainer
+    from klab_multimodalmodel_tpu.utils import make_mesh
+
+    n_dev = len(jax.devices())
+    batch_per_chip = 32
+    cfg = Config(language_model_name="t5-base",
+                 transformer_model_name="t5-base",
+                 max_source_length=64, max_target_length=32,
+                 batch_size=batch_per_chip, compute_dtype="bfloat16",
+                 mesh_shape=(-1, 1, 1), data_dir="synthetic")
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_per_chip * n_dev)
+
+    B = batch_per_chip * n_dev
+    S = cfg.swin.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8),
+        "source_ids": rng.integers(
+            2, 1000, (B, cfg.max_source_length)).astype(np.int32),
+        "source_mask": np.ones((B, cfg.max_source_length), np.int32),
+        "target_ids": rng.integers(
+            2, 1000, (B, cfg.max_target_length)).astype(np.int32),
+        "target_mask": np.ones((B, cfg.max_target_length), np.int32),
+    }
+    device_batch = trainer.device_put_batch(batch)
+
+    step_rng = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    state, loss = trainer.train_step(state, device_batch, step_rng)
+    jax.block_until_ready(loss)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = trainer.train_step(state, device_batch, step_rng)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = B * n_steps / dt
+    per_chip = images_per_sec / n_dev
+    print(json.dumps({
+        "metric": "caption train throughput (swinv2-base+t5-base, bf16, "
+                  f"batch {batch_per_chip}/chip)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

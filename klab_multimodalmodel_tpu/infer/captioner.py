@@ -1,0 +1,53 @@
+"""End-to-end captioning: images + prompt -> decoded strings.
+
+Covers the reference's inference demo (``visualization.ipynb`` cells 3-8):
+load checkpoint, preprocess one image, greedy-generate, decode with
+``skip_special_tokens``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import COCO_PROMPT
+from ..data.image_ops import normalize_images
+from ..models.multimodal import MultiModalModel
+from ..text.tokenizer import TokenizerBase
+from .generate import generate
+
+
+class Captioner:
+    def __init__(self, config: Config, params: Any,
+                 tokenizer: TokenizerBase):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.model = MultiModalModel(config)
+
+    def caption(self, images_uint8: np.ndarray,
+                prompts: Optional[Sequence[str]] = None,
+                max_length: Optional[int] = None,
+                num_beams: Optional[int] = None) -> list[str]:
+        """images (B, H, W, 3) uint8 -> captions."""
+        cfg = self.config
+        B = images_uint8.shape[0]
+        prompts = list(prompts) if prompts is not None else [COCO_PROMPT] * B
+        enc_in = self.tokenizer(prompts, max_length=cfg.max_source_length)
+        images = normalize_images(jnp.asarray(images_uint8))
+        enc_hidden, enc_mask = self.model.apply(
+            {"params": self.params}, images,
+            jnp.asarray(enc_in.input_ids),
+            jnp.asarray(enc_in.attention_mask),
+            method=self.model.encode_for_generation)
+        ids = generate(
+            self.model.transformer_module(), self.params["transformer"],
+            enc_hidden, enc_mask,
+            max_length=max_length or cfg.generate_max_length,
+            num_beams=num_beams or cfg.num_beams)
+        return self.tokenizer.batch_decode(np.asarray(ids),
+                                           skip_special_tokens=True)

@@ -137,3 +137,11 @@ class MultiModalModel(nn.Module):
         return self.transformer.decode_step(
             token, step, encoder_hidden, max_decode_len,
             encoder_attention_mask=encoder_mask)
+
+    def transformer_module(self) -> T5ForConditionalGeneration:
+        """Standalone T5 module matching the ``transformer`` subtree —
+        for the generation loop, which decodes against
+        ``params['transformer']`` directly."""
+        return T5ForConditionalGeneration(
+            self.config.transformer_t5, dtype=self.dtype,
+            remat=self.config.remat)
