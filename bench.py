@@ -39,7 +39,9 @@ def main() -> None:
 
     from klab_multimodalmodel_tpu.config import Config
     from klab_multimodalmodel_tpu.train import Trainer
-    from klab_multimodalmodel_tpu.utils import make_mesh
+    from klab_multimodalmodel_tpu.utils import enable_compile_cache, make_mesh
+
+    enable_compile_cache()
 
     n_dev = len(jax.devices())
     batch_per_chip = 32
@@ -67,16 +69,18 @@ def main() -> None:
     }
     device_batch = trainer.device_put_batch(batch)
 
-    step_rng = jax.random.PRNGKey(1)
-    # Warmup / compile.
+    step_rng = jax.random.key(1, impl=cfg.dropout_rng_impl)
+    # Warmup / compile. NOTE: timing syncs via an explicit host read of the
+    # loss — on relayed/async PJRT backends block_until_ready can return
+    # before execution finishes, which inflates throughput.
     state, loss = trainer.train_step(state, device_batch, step_rng)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = trainer.train_step(state, device_batch, step_rng)
-    jax.block_until_ready(loss)
+    float(loss)  # host read forces completion of the dependent chain
     dt = time.perf_counter() - t0
 
     images_per_sec = B * n_steps / dt

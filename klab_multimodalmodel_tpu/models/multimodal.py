@@ -49,10 +49,11 @@ class MultiModalModel(nn.Module):
         self.image_model = SwinV2Encoder(cfg.swin, dtype=self.dtype,
                                          name="image_model")
         self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
+                                        scan_unroll=cfg.scan_unroll,
                                         name="language_model")
         self.transformer = T5ForConditionalGeneration(
             cfg.transformer_t5, dtype=self.dtype, remat=cfg.remat,
-            name="transformer")
+            scan_unroll=cfg.scan_unroll, name="transformer")
         d_model = cfg.transformer_t5.d_model
         vis_dim = cfg.swin.num_features
         self.needs_vision_proj = (
@@ -144,4 +145,4 @@ class MultiModalModel(nn.Module):
         ``params['transformer']`` directly."""
         return T5ForConditionalGeneration(
             self.config.transformer_t5, dtype=self.dtype,
-            remat=self.config.remat)
+            remat=self.config.remat, scan_unroll=self.config.scan_unroll)

@@ -251,6 +251,9 @@ class T5Stack(nn.Module):
     is_decoder: bool
     dtype: Dtype = jnp.float32
     remat: str = ""
+    # scan unroll factor: trades compile time for runtime (XLA can fuse and
+    # software-pipeline across unrolled layers). 1 = pure while-loop scan.
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array,
@@ -274,6 +277,8 @@ class T5Stack(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast,) * 3,
             length=self.num_layers,
+            unroll=self.num_layers if self.scan_unroll == 0
+            else self.scan_unroll,
         )(s, self.is_decoder, self.dtype, deterministic, decode,
           name="layers")
         x, _ = blocks(x, self_bias, enc_out, cross_bias)
@@ -309,6 +314,7 @@ class T5Encoder(nn.Module):
     size: T5Size
     dtype: Dtype = jnp.float32
     remat: str = ""
+    scan_unroll: int = 0
 
     def setup(self):
         s = self.size
@@ -321,6 +327,7 @@ class T5Encoder(nn.Module):
             num_heads=s.num_heads, bidirectional=True, name="relpos_bias")
         self.stack = T5Stack(s, s.num_layers, is_decoder=False,
                              dtype=self.dtype, remat=self.remat,
+                             scan_unroll=self.scan_unroll,
                              name="encoder")
 
     def __call__(self, input_ids: Optional[jax.Array] = None,
@@ -379,6 +386,7 @@ class T5ForConditionalGeneration(nn.Module):
     size: T5Size
     dtype: Dtype = jnp.float32
     remat: str = ""
+    scan_unroll: int = 0
 
     def setup(self):
         s = self.size
@@ -395,10 +403,10 @@ class T5ForConditionalGeneration(nn.Module):
             num_heads=s.num_heads, bidirectional=False, name="dec_relpos_bias")
         self.encoder = T5Stack(s, s.num_layers, is_decoder=False,
                                dtype=self.dtype, remat=self.remat,
-                               name="encoder")
+                               scan_unroll=self.scan_unroll, name="encoder")
         self.decoder = T5Stack(s, s.num_decoder_layers, is_decoder=True,
                                dtype=self.dtype, remat=self.remat,
-                               name="decoder")
+                               scan_unroll=self.scan_unroll, name="decoder")
         if not s.tie_word_embeddings:
             self.lm_head = nn.Dense(
                 s.vocab_size, use_bias=False, dtype=self.dtype,

@@ -1,0 +1,15 @@
+"""Pallas TPU kernels.
+
+``fused_attention`` provides the fused T5 (plain + learned-bias + dropout,
+custom Pallas VJP) and SwinV2 (scaled-cosine + CPB + window masks) attention
+kernels. On these short-sequence shapes XLA's own fusions are already near
+the VPU/bandwidth limits, so the kernels are perf-neutral for training today
+(within ±10% of XLA on v5e) — they are wired behind an opt-in and serve as
+the foundation for the decode-attention and long-context paths where fusion
+wins are real.
+"""
+
+from .fused_attention import (blockdiag_mask, pack_head_bias,
+                              pack_window_masks, pick_group, set_interpret,
+                              swin_fused_attention, t5_fused_attention,
+                              t5_fused_attention_packed)

@@ -29,6 +29,7 @@ from ..data.pipeline import DataLoader, get_dataloader
 from ..obs.logger import get_logger
 from ..obs.metrics import LossCounter
 from ..text.tokenizer import load_tokenizer
+from ..utils.cache import enable_compile_cache
 from ..utils.mesh import make_mesh, maybe_init_distributed
 from .trainer import Trainer
 
@@ -39,6 +40,7 @@ def train(config: Config,
           resume: bool = True) -> dict:
     """Run training; returns a summary dict (final state, loss history)."""
     maybe_init_distributed()
+    enable_compile_cache()
     mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
     is_main = jax.process_index() == 0
 
@@ -81,7 +83,10 @@ def train(config: Config,
         logger.info(f"resumed from {name} (epoch {start_epoch - 1})")
 
     loss_counter = LossCounter(opt_steps_per_epoch, max(len(val_loader), 1))
-    dropout_rng = jax.random.PRNGKey(config.seed + 1)
+    # rbg keys use the TPU hardware generator — threefry dropout bits cost
+    # ~50% extra wall-clock on the transformer grad step.
+    dropout_rng = jax.random.key(config.seed + 1,
+                                 impl=config.dropout_rng_impl)
 
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
