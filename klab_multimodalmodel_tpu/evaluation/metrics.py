@@ -1,0 +1,126 @@
+"""Caption quality metrics: CIDEr-D and BLEU.
+
+The reference has no quantitative evaluation at all (SURVEY.md §4 — only a
+val-loss loop and one qualitative notebook sample); BASELINE.md's quality
+target is "CIDEr on MSCOCO val within 1%", so the framework ships the metric.
+CIDEr-D follows the official pycocoevalcap ``cider_scorer.py`` algorithm
+(tf-idf weighted n-gram cosine with the sigma=6 length gaussian, scores
+x10); BLEU is standard corpus BLEU-4 with brevity penalty.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def simple_tokenize(text: str) -> List[str]:
+    """Lowercase, strip punctuation, whitespace split (a light stand-in for
+    the PTB tokenizer used by the official COCO eval)."""
+    return _PUNCT.sub("", text.lower()).split()
+
+
+def _ngrams(tokens: Sequence[str], max_n: int = 4) -> Counter:
+    counts: Counter = Counter()
+    for n in range(1, max_n + 1):
+        for i in range(len(tokens) - n + 1):
+            counts[tuple(tokens[i:i + n])] += 1
+    return counts
+
+
+class CiderScorer:
+    """CIDEr-D over a corpus of (candidate, [references])."""
+
+    def __init__(self, max_n: int = 4, sigma: float = 6.0):
+        self.max_n = max_n
+        self.sigma = sigma
+
+    def compute(self, candidates: Sequence[str],
+                references: Sequence[Sequence[str]]) -> float:
+        assert len(candidates) == len(references)
+        cand_counts = [_ngrams(simple_tokenize(c), self.max_n)
+                       for c in candidates]
+        ref_counts = [[_ngrams(simple_tokenize(r), self.max_n) for r in refs]
+                      for refs in references]
+
+        # document frequency over reference sets
+        df: Dict[tuple, float] = defaultdict(float)
+        for refs in ref_counts:
+            for ngram in set(ng for r in refs for ng in r):
+                df[ngram] += 1.0
+        log_n = math.log(max(len(references), 1))
+
+        def counts2vec(cnts: Counter):
+            vec = [defaultdict(float) for _ in range(self.max_n)]
+            norm = [0.0] * self.max_n
+            length = 0
+            for ngram, tf in cnts.items():
+                d = math.log(max(1.0, df[ngram]))
+                ni = len(ngram) - 1
+                vec[ni][ngram] = tf * (log_n - d)
+                norm[ni] += vec[ni][ngram] ** 2
+                if ni == 1:
+                    length += tf
+            return vec, [math.sqrt(x) for x in norm], length
+
+        total = 0.0
+        for c_cnt, refs in zip(cand_counts, ref_counts):
+            c_vec, c_norm, c_len = counts2vec(c_cnt)
+            score_n = [0.0] * self.max_n
+            for r_cnt in refs:
+                r_vec, r_norm, r_len = counts2vec(r_cnt)
+                delta = float(c_len - r_len)
+                for ni in range(self.max_n):
+                    val = 0.0
+                    for ngram, rv in r_vec[ni].items():
+                        # CIDEr-D clips the candidate tf-idf at the ref's
+                        val += min(c_vec[ni].get(ngram, 0.0), rv) * rv
+                    if c_norm[ni] != 0 and r_norm[ni] != 0:
+                        val /= c_norm[ni] * r_norm[ni]
+                    val *= math.exp(-delta ** 2 / (2 * self.sigma ** 2))
+                    score_n[ni] += val
+            n_ref = max(len(refs), 1)
+            total += 10.0 * sum(s / n_ref for s in score_n) / self.max_n
+        return total / max(len(candidates), 1)
+
+
+def cider_d(candidates: Sequence[str],
+            references: Sequence[Sequence[str]]) -> float:
+    return CiderScorer().compute(candidates, references)
+
+
+def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
+         max_n: int = 4) -> float:
+    """Corpus BLEU-N with brevity penalty (uniform weights)."""
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    cand_len = 0
+    ref_len = 0
+    for cand, refs in zip(candidates, references):
+        c_toks = simple_tokenize(cand)
+        r_toks = [simple_tokenize(r) for r in refs]
+        cand_len += len(c_toks)
+        # closest reference length
+        ref_len += min((abs(len(r) - len(c_toks)), len(r))
+                       for r in r_toks)[1] if r_toks else 0
+        for n in range(1, max_n + 1):
+            c_ngr = Counter(tuple(c_toks[i:i + n])
+                            for i in range(len(c_toks) - n + 1))
+            max_ref: Counter = Counter()
+            for r in r_toks:
+                r_ngr = Counter(tuple(r[i:i + n])
+                                for i in range(len(r) - n + 1))
+                for ng, cnt in r_ngr.items():
+                    max_ref[ng] = max(max_ref[ng], cnt)
+            totals[n - 1] += max(sum(c_ngr.values()), 0)
+            clipped[n - 1] += sum(min(cnt, max_ref[ng])
+                                  for ng, cnt in c_ngr.items())
+    if any(t == 0 for t in totals) or any(c == 0 for c in clipped):
+        return 0.0
+    log_p = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
+    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
+    return bp * math.exp(log_p)

@@ -139,6 +139,7 @@ class MultiModalModel(nn.Module):
             token, step, encoder_hidden, max_decode_len,
             encoder_attention_mask=encoder_mask)
 
+    @nn.nowrap
     def transformer_module(self) -> T5ForConditionalGeneration:
         """Standalone T5 module matching the ``transformer`` subtree —
         for the generation loop, which decodes against

@@ -1,0 +1,103 @@
+"""Metric + end-to-end caption evaluation tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from klab_multimodalmodel_tpu.evaluation import bleu, cider_d, simple_tokenize
+
+
+def test_tokenize():
+    assert simple_tokenize("A man, with a RED helmet!") == [
+        "a", "man", "with", "a", "red", "helmet"]
+
+
+def test_cider_perfect_match_scores_high():
+    refs = [["a dog jumps over the fence"],
+            ["a man rides a red moped down the road"]]
+    cands = [r[0] for r in refs]
+    score = cider_d(cands, refs)
+    assert score > 5.0  # perfect match saturates near 10
+
+
+def test_cider_orders_quality():
+    # idf needs a multi-image corpus (log N and df are corpus statistics);
+    # image 0 is the one under test, the rest provide document frequency.
+    base_refs = [["a cat sleeps on a warm chair"],
+                 ["two boats float in the harbor"],
+                 ["children play football in the park"],
+                 ["a plate of pasta on a table"]]
+    refs = [["a dog jumps over the fence",
+             "the dog leaps over a fence"]] + base_refs
+    others = ["a cat sleeps on a warm chair",
+              "two boats float in the harbor",
+              "children play football in the park",
+              "a plate of pasta on a table"]
+
+    def score_first(cand):
+        return cider_d([cand] + others, refs)
+
+    s_good = score_first("a dog jumps over the fence")
+    s_partial = score_first("a dog sits near the fence")
+    s_bad = score_first("purple elephants fly backwards")
+    assert s_good > s_partial > s_bad
+
+
+def test_bleu_basics():
+    refs = [["the cat sits on the mat"]]
+    assert bleu(["the cat sits on the mat"], refs) == pytest.approx(1.0)
+    assert bleu(["dog"], refs) == 0.0
+    # partial overlap in (0, 1)
+    s = bleu(["the cat sits on a mat"], refs)
+    assert 0.0 < s < 1.0
+
+
+def test_evaluate_captions_end_to_end(tmp_path, rng):
+    """Random-init micro model captions a 2-image synthetic val set."""
+    from PIL import Image
+
+    import jax
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.evaluation import evaluate_captions
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    # micro sizes registered by test_train import-time side effects are not
+    # guaranteed; register here explicitly
+    from klab_multimodalmodel_tpu.config import (SwinV2Size, T5Size,
+                                                 register_swin_size,
+                                                 register_t5_size)
+    register_t5_size("t5-eval-micro", T5Size(
+        d_model=32, d_kv=8, d_ff=64, num_layers=1, num_decoder_layers=1,
+        num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0))
+    register_swin_size("swin-eval-micro", SwinV2Size(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0)))
+
+    cfg = Config(language_model_name="t5-eval-micro",
+                 transformer_model_name="t5-eval-micro",
+                 image_model_name="swin-eval-micro",
+                 max_source_length=48, generate_max_length=8,
+                 compute_dtype="float32",
+                 result_dir=str(tmp_path / "results"))
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.jpg"
+        Image.new("RGB", (40, 40), color=(i * 100, 20, 30)).save(p)
+        paths.append(str(p))
+    refs = [["a red square"], ["a dark square on a wall"]]
+
+    tok = ByteTokenizer()
+    model = MultiModalModel(cfg)
+    imgs = np.zeros((1, 32, 32, 3), np.uint8)
+    params = model.init(jax.random.PRNGKey(0), imgs.astype(np.float32),
+                        np.zeros((1, 48), np.int32),
+                        np.zeros((1, 4), np.int32))["params"]
+    metrics = evaluate_captions(cfg, params, tok, paths, refs, batch_size=2)
+    assert metrics["num_images"] == 2
+    assert np.isfinite(metrics["CIDEr-D"])
+    assert "prediction" in metrics["sample"]

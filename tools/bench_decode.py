@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""p50 greedy-decode caption latency on the real chip (BASELINE.md metric 3).
+
+Measures the full inference path at batch 1: multimodal encode (SwinV2 +
+frozen T5 encoder + main T5 encoder over the concat) and the KV-cache greedy
+decode loop at the reference's HF-default max_length=20.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.data.image_ops import normalize_images
+    from klab_multimodalmodel_tpu.infer import greedy_decode
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+    from klab_multimodalmodel_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = Config(language_model_name="t5-base",
+                 transformer_model_name="t5-base",
+                 max_source_length=64, compute_dtype="bfloat16",
+                 scan_unroll=1)
+    model = MultiModalModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
+    src = jnp.asarray(rng.integers(2, 1000, (1, 64)), jnp.int32)
+    mask = jnp.ones((1, 64), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), normalize_images(img, dtype=jnp.bfloat16),
+        src, jnp.zeros((1, 4), jnp.int32), source_mask=mask)["params"]
+
+    t5 = model.transformer_module()
+
+    @jax.jit
+    def encode(params, img, src, mask):
+        return model.apply({"params": params},
+                           normalize_images(img, dtype=jnp.bfloat16), src,
+                           mask, method=model.encode_for_generation)
+
+    def caption_once():
+        enc, enc_mask = encode(params, img, src, mask)
+        ids = greedy_decode(t5, params["transformer"], enc, enc_mask,
+                            cfg.generate_max_length)
+        return np.asarray(ids)  # host read = sync
+
+    caption_once()  # compile
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        caption_once()
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    print(json.dumps({
+        "metric": "p50 greedy caption latency (batch 1, max_length 20)",
+        "p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
+        "p90_ms": round(lat_ms[int(len(lat_ms) * 0.9)], 2),
+        "unit": "ms",
+    }))
+
+
+if __name__ == "__main__":
+    main()
