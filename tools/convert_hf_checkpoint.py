@@ -87,13 +87,21 @@ def main() -> None:
                 rng.standard_normal((vis, d_model)) / np.sqrt(vis)
             ).astype(np.float32)}
 
+    import asyncio
+
     import orbax.checkpoint as ocp
+
+    # torch/transformers may have torn down the default asyncio executor;
+    # orbax needs a live event loop for its async write path.
+    asyncio.set_event_loop(asyncio.new_event_loop())
 
     out = os.path.abspath(args.output)
     ckpt_path = os.path.join(out, "checkpoints", "pretrained")
     if os.path.isdir(ckpt_path):
         shutil.rmtree(ckpt_path)
-    ocp.StandardCheckpointer().save(ckpt_path, params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_path, params)
+    ckptr.wait_until_finished()
 
     tok_src = os.path.join(args.t5_dir, "tokenizer.json")
     if os.path.exists(tok_src):
