@@ -19,6 +19,7 @@ t5-base-geometry benchmark workload.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -44,7 +45,7 @@ def main() -> None:
     enable_compile_cache()
 
     n_dev = len(jax.devices())
-    batch_per_chip = 32
+    batch_per_chip = int(os.environ.get("KLAB_BENCH_BATCH", "32"))
     cfg = Config(language_model_name="t5-base",
                  transformer_model_name="t5-base",
                  max_source_length=64, max_target_length=32,
