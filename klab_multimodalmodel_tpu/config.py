@@ -177,6 +177,10 @@ class Config:
     # Tokenizer: path to a HuggingFace tokenizers JSON file (unigram/BPE) or
     # '' to use the built-in whitespace fallback (tests / smoke runs).
     tokenizer_path: str = ""
+    # Debug config (SURVEY.md §5 race-detection/sanitizer row): NaN checks
+    # and a guard against silent host<->device transfers inside the step.
+    debug_nans: bool = False
+    debug_transfer_guard: bool = False
     # Data pipeline
     num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
     prefetch_batches: int = 2

@@ -41,6 +41,10 @@ def train(config: Config,
     """Run training; returns a summary dict (final state, loss history)."""
     maybe_init_distributed()
     enable_compile_cache()
+    if config.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if config.debug_transfer_guard:
+        jax.config.update("jax_transfer_guard", "disallow")
     mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
     is_main = jax.process_index() == 0
 
