@@ -1,0 +1,70 @@
+"""SPMD correctness: the compiled train step must produce identical results
+regardless of mesh factorization — (8,1,1) DP, (2,2,2) DP+FSDP+TP, and
+(1,4,2) FSDP+TP must all equal the single-device result on the same batch.
+This is the numerical guarantee behind 'sharding annotations, not explicit
+collectives' (SURVEY.md §2D / §5 distributed rows)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
+                                             register_swin_size,
+                                             register_t5_size)
+from klab_multimodalmodel_tpu.data import DataLoader, SyntheticCaptionDataset
+from klab_multimodalmodel_tpu.text import ByteTokenizer
+from klab_multimodalmodel_tpu.train import Trainer
+from klab_multimodalmodel_tpu.utils import make_mesh
+
+register_t5_size("t5-spmd-micro", T5Size(
+    d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+    num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+    relative_attention_max_distance=16, dropout_rate=0.0))
+register_swin_size("swin-spmd-micro", SwinV2Size(
+    image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+    num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+    pretrained_window_sizes=(0, 0)))
+
+
+def _run(mesh_shape, devices=None, steps=2):
+    cfg = Config(language_model_name="t5-spmd-micro",
+                 transformer_model_name="t5-spmd-micro",
+                 image_model_name="swin-spmd-micro",
+                 max_source_length=48, max_target_length=24, batch_size=1,
+                 compute_dtype="float32", mesh_shape=mesh_shape,
+                 data_dir="synthetic")
+    mesh = make_mesh(mesh_shape, devices=devices)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+    ds = SyntheticCaptionDataset(n=16, image_size=32)
+    loader = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                        max_source_length=48, max_target_length=24,
+                        shuffle=False, seed=0)
+    losses = []
+    it = iter(loader)
+    for _ in range(steps):
+        batch = next(it)
+        db = trainer.device_put_batch(batch)
+        # dropout_rate is 0 in the micro sizes -> rng value is irrelevant
+        state, loss = trainer.train_step(state, db, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    params = jax.device_get(state.params)
+    return losses, params
+
+
+def test_mesh_factorizations_agree():
+    base_losses, base_params = _run((1, 1, 1), devices=jax.devices()[:1])
+    for mesh_shape in [(8, 1, 1), (2, 2, 2), (1, 4, 2)]:
+        losses, params = _run(mesh_shape)
+        np.testing.assert_allclose(losses, base_losses, rtol=2e-5,
+                                   err_msg=f"loss mismatch on {mesh_shape}")
+        base_flat = {jax.tree_util.keystr(k): v for k, v in
+                     jax.tree_util.tree_leaves_with_path(base_params)}
+        flat = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(params)}
+        assert base_flat.keys() == flat.keys()
+        for key in base_flat:
+            np.testing.assert_allclose(
+                base_flat[key], flat[key], rtol=5e-4, atol=1e-6,
+                err_msg=f"param mismatch on {mesh_shape}: {key}")
