@@ -158,11 +158,6 @@ class Config:
     # PRNG implementation for dropout keys: 'rbg' uses the TPU hardware
     # generator (threefry dropout costs ~50% extra on the t5 grad step).
     dropout_rng_impl: str = "rbg"
-    # Fixed-shape padding (XLA static shapes). The reference pads each batch
-    # to the longest element (train.py:56-57) which would trigger one XLA
-    # recompile per distinct length; we pad to fixed buckets instead.
-    source_length_buckets: tuple[int, ...] = ()
-    target_length_buckets: tuple[int, ...] = ()
     # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
     # attention masks and does not mask pad positions out of the loss.
     # Defaults fix both; set True for bit-parity with the reference.
@@ -224,8 +219,7 @@ class Config:
         raw = json.loads(text)
         field_names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in field_names}
-        for key in ("mesh_shape", "mesh_axis_names", "source_length_buckets",
-                    "target_length_buckets"):
+        for key in ("mesh_shape", "mesh_axis_names"):
             if key in kwargs and isinstance(kwargs[key], list):
                 kwargs[key] = tuple(kwargs[key])
         return cls(**kwargs)

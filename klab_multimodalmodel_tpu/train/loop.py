@@ -111,6 +111,13 @@ def train(config: Config,
             loss_counter.add_loss("train", loss)
             steps += 1
             images_seen += merged["images"].shape[0]
+            if (is_main and config.log_every_steps
+                    and steps % config.log_every_steps == 0):
+                dt_so_far = time.perf_counter() - epoch_t0
+                logger.info(
+                    f"step {steps}: {images_seen / dt_so_far:.1f} img/s "
+                    f"({images_seen / dt_so_far / max(jax.device_count(), 1):.1f}"
+                    f" img/s/chip)")
         # NOTE: leftover microbatches (< accum) are dropped; the reference
         # instead runs a ragged final update (train.py:65) — divergence
         # documented in PARITY.md.

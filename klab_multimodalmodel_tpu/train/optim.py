@@ -32,12 +32,11 @@ def make_lr_schedule(config: Config, num_epochs: int) -> optax.Schedule:
         return optax.constant_schedule(lr)
     if name == "cosine":
         # CosineAnnealingLR(T_max=num_epochs, eta_min=0), stepped per
-        # optimizer step (train.py:30,69): cos anneal over num_epochs steps.
-        # torch's formula continues oscillating past T_max; training never
-        # runs that far in the recipes, so we clamp at eta_min instead.
+        # optimizer step (train.py:30,69): anneals over num_epochs STEPS
+        # (quirk #2). Past T_max torch's closed form oscillates back up —
+        # reproduced exactly (clamping would silently freeze long runs).
         def cosine(step):
-            t = jnp.minimum(step, num_epochs)
-            return 0.5 * lr * (1 + jnp.cos(jnp.pi * t / num_epochs))
+            return 0.5 * lr * (1 + jnp.cos(jnp.pi * step / num_epochs))
         return cosine
     if name == "linear":
         # LambdaLR(lambda epoch: 1 - epoch/num_epochs) per step
