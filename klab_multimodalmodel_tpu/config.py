@@ -158,6 +158,11 @@ class Config:
     # PRNG implementation for dropout keys: 'rbg' uses the TPU hardware
     # generator (threefry dropout costs ~50% extra on the t5 grad step).
     dropout_rng_impl: str = "rbg"
+    # Route SwinV2 window attention through the fused Pallas kernel.
+    # Measured 0.91x XLA on v5e for the 256px geometry (XLA's fusions are
+    # already near the VPU/bandwidth bound there) — default off; the kernel
+    # is the foundation for long-context / larger-window configs.
+    use_pallas_attention: bool = False
     # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
     # attention masks and does not mask pad positions out of the loss.
     # Defaults fix both; set True for bit-parity with the reference.

@@ -46,8 +46,9 @@ class MultiModalModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.image_model = SwinV2Encoder(cfg.swin, dtype=self.dtype,
-                                         name="image_model")
+        self.image_model = SwinV2Encoder(
+            cfg.swin, use_pallas=cfg.use_pallas_attention, dtype=self.dtype,
+            name="image_model")
         self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
                                         scan_unroll=cfg.scan_unroll,
                                         name="language_model")

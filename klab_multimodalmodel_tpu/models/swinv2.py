@@ -116,6 +116,8 @@ class WindowAttention(nn.Module):
 
     Operates on pre-partitioned windows ``(B*nW, w*w, C)``; ``mask`` is the
     static shifted-window mask ``(nW, w*w, w*w)`` or None.
+    ``use_pallas=True`` routes the cosine attention through the fused
+    Pallas kernel (ops/fused_attention.py).
     """
 
     dim: int
@@ -124,6 +126,7 @@ class WindowAttention(nn.Module):
     pretrained_window_size: int = 0
     qkv_bias: bool = True
     attn_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,23 +144,6 @@ class WindowAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
 
-        # Cosine attention: L2-normalize q and k in fp32, scale by the learned
-        # clamped temperature (v2 replacement for 1/sqrt(d)).
-        q32 = q.astype(jnp.float32)
-        k32 = k.astype(jnp.float32)
-        q32 = q32 / jnp.maximum(
-            jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
-        k32 = k32 / jnp.maximum(
-            jnp.linalg.norm(k32, axis=-1, keepdims=True), 1e-12)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q32.astype(self.dtype),
-                            k32.astype(self.dtype),
-                            preferred_element_type=jnp.float32)
-        logit_scale = self.param(
-            "logit_scale", lambda rng, shape: jnp.full(shape, np.log(10.0)),
-            (H,))
-        scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))
-        logits = logits * scale[None, :, None, None]
-
         # Continuous relative position bias: tiny MLP over the static
         # log-spaced coordinate table, then 16*sigmoid (v2 bounding).
         coords = jnp.asarray(
@@ -169,7 +155,32 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(relative_position_index(self.window_size))
         bias = cpb[idx.reshape(-1)].reshape(N, N, H)
         bias = 16.0 * jax.nn.sigmoid(bias)
-        logits = logits + jnp.transpose(bias, (2, 0, 1))[None]
+        bias_h = jnp.transpose(bias, (2, 0, 1))      # (H, N, N)
+        logit_scale = self.param(
+            "logit_scale", lambda rng, shape: jnp.full(shape, np.log(10.0)),
+            (H,))
+
+        if self.use_pallas:
+            from ..ops.fused_attention import swin_fused_attention
+
+            out = swin_fused_attention(q, k, v, logit_scale, bias_h, mask)
+            out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        # Cosine attention: L2-normalize q and k in fp32, scale by the learned
+        # clamped temperature (v2 replacement for 1/sqrt(d)).
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        q32 = q32 / jnp.maximum(
+            jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+        k32 = k32 / jnp.maximum(
+            jnp.linalg.norm(k32, axis=-1, keepdims=True), 1e-12)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q32.astype(self.dtype),
+                            k32.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))
+        logits = logits * scale[None, :, None, None]
+        logits = logits + bias_h[None]
 
         if mask is not None:
             nW = mask.shape[0]
@@ -218,6 +229,7 @@ class SwinV2Block(nn.Module):
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-5
     pretrained_window_size: int = 0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -238,7 +250,8 @@ class SwinV2Block(nn.Module):
         attn = WindowAttention(
             dim=C, num_heads=self.num_heads, window_size=w,
             pretrained_window_size=self.pretrained_window_size,
-            qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn")(
+            qkv_bias=self.qkv_bias, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="attn")(
                 windows, mask=mask, deterministic=deterministic)
         h = window_reverse(attn, w, R, R)
         if s > 0:
@@ -284,6 +297,7 @@ class SwinV2Encoder(nn.Module):
     """
 
     size: SwinV2Size
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -313,6 +327,7 @@ class SwinV2Encoder(nn.Module):
                     drop_path_rate=float(dp_rates[b]),
                     layer_norm_eps=cfg.layer_norm_eps,
                     pretrained_window_size=cfg.pretrained_window_sizes[si],
+                    use_pallas=self.use_pallas,
                     dtype=self.dtype, name=f"stage_{si}_block_{li}")(
                         x, deterministic=deterministic)
                 b += 1
