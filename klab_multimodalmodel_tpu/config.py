@@ -158,6 +158,13 @@ class Config:
     # PRNG implementation for dropout keys: 'rbg' uses the TPU hardware
     # generator (threefry dropout costs ~50% extra on the t5 grad step).
     dropout_rng_impl: str = "rbg"
+    # Optimizer: 'adam' (reference parity, train.py:28) or 'adafactor'
+    # (T5's original optimizer; factored second moments cut optimizer HBM by
+    # ~6 GB for t5-large, enabling the full flagship on one 16 GB chip).
+    optimizer: str = "adam"
+    # Store the FROZEN towers' params in bf16 (they only feed bf16 compute
+    # and receive no updates — numerically identical to the compute path).
+    frozen_param_dtype: str = "float32"
     # Route SwinV2 window attention through the fused Pallas kernel.
     # Measured 0.91x XLA on v5e for the 256px geometry (XLA's fusions are
     # already near the VPU/bandwidth bound there) — default off; the kernel

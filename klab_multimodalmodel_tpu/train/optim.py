@@ -80,7 +80,15 @@ def trainable_labels(params: Any, config: Config) -> Any:
 def make_optimizer(config: Config, params: Any,
                    num_epochs: int) -> optax.GradientTransformation:
     schedule = make_lr_schedule(config, max(num_epochs or 1, 1))
-    adam = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if config.optimizer == "adam":
+        tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    elif config.optimizer == "adafactor":
+        # T5's original optimizer; factored second moments keep optimizer
+        # state ~O(rows+cols) instead of O(params).
+        tx = optax.adafactor(learning_rate=schedule,
+                             multiply_by_parameter_scale=False)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
     labels = trainable_labels(params, config)
     return optax.multi_transform(
-        {"train": adam, "frozen": optax.set_to_zero()}, labels)
+        {"train": tx, "frozen": optax.set_to_zero()}, labels)

@@ -100,7 +100,25 @@ class Trainer:
                             out_shardings=self.state_shardings)(rng)
         # The tx used inside steps must match the one init'd from shapes.
         self.tx = make_optimizer(cfg, shapes.params, self.num_epochs)
+        state = self._maybe_cast_frozen(state)
         return state
+
+    def _maybe_cast_frozen(self, state: TrainState) -> TrainState:
+        """Store frozen towers in bf16 when configured (they feed bf16
+        compute and take no updates, so this is numerically identical)."""
+        cfg = self.config
+        if cfg.frozen_param_dtype == "float32":
+            return state
+        from .optim import trainable_labels
+
+        labels = trainable_labels(state.params, cfg)
+        target = (jnp.bfloat16 if cfg.frozen_param_dtype == "bfloat16"
+                  else jnp.float32)
+        params = jax.tree.map(
+            lambda p, lbl: p.astype(target) if lbl == "frozen" else p,
+            state.params, labels)
+        return TrainState(step=state.step, params=params,
+                          opt_state=state.opt_state)
 
     # -- compiled steps ----------------------------------------------------
     def _loss_fn(self, params, batch, dropout_rng, deterministic: bool):

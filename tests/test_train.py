@@ -189,3 +189,31 @@ def test_full_train_loop_and_resume(tmp_path):
                  resume=True)
     assert len(out2["losses"]["train"]) == 1  # only epoch 3 ran
     assert int(out2["steps"]) == 3 * len(loader)
+
+
+def test_adafactor_and_frozen_bf16(tmp_path):
+    """Adafactor optimizer + bf16 frozen towers: step runs, frozen params
+    stay bf16 and unchanged, transformer updates."""
+    cfg = micro_config(tmp_path, optimizer="adafactor",
+                       frozen_param_dtype="bfloat16")
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+    frozen_leaf = jax.tree.leaves(state.params["language_model"])[0]
+    assert frozen_leaf.dtype == jnp.bfloat16
+    loader = _make_loader(cfg)
+    batch = next(iter(loader))
+    db = trainer.device_put_batch(batch)
+    before = jax.device_get(state.params)
+    state, loss = trainer.train_step(state, db, jax.random.PRNGKey(1))
+    after = jax.device_get(state.params)
+    assert np.isfinite(float(loss))
+    d_frozen = sum(float(np.abs(a.astype(np.float32)
+                                - b.astype(np.float32)).sum())
+                   for a, b in zip(jax.tree.leaves(before["language_model"]),
+                                   jax.tree.leaves(after["language_model"])))
+    d_train = sum(float(np.abs(a - b).sum())
+                  for a, b in zip(jax.tree.leaves(before["transformer"]),
+                                  jax.tree.leaves(after["transformer"])))
+    assert d_frozen == 0.0
+    assert d_train > 0.0

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Flagship-geometry training benchmark: the reference's DEFAULT config
+(t5-large transformer + frozen t5-large text encoder + swinv2-base) on ONE
+chip — possible because of adafactor (factored second moments) and bf16
+frozen towers. The reference needs 4 GPUs for this model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.train import Trainer
+    from klab_multimodalmodel_tpu.utils import enable_compile_cache, make_mesh
+
+    enable_compile_cache()
+    B = int(os.environ.get("KLAB_FLAGSHIP_BATCH", "8"))
+    cfg = Config(  # reference defaults: t5-large towers + swinv2-base
+        max_source_length=64, max_target_length=32, batch_size=B,
+        compute_dtype="bfloat16", optimizer="adafactor",
+        frozen_param_dtype="bfloat16", remat="dots_saveable",
+        scan_unroll=1, mesh_shape=(-1, 1, 1), data_dir="synthetic")
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), B)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+
+    S = cfg.swin.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8),
+        "source_ids": rng.integers(
+            2, 1000, (B, cfg.max_source_length)).astype(np.int32),
+        "source_mask": np.ones((B, cfg.max_source_length), np.int32),
+        "target_ids": rng.integers(
+            2, 1000, (B, cfg.max_target_length)).astype(np.int32),
+        "target_mask": np.ones((B, cfg.max_target_length), np.int32),
+    }
+    db = trainer.device_put_batch(batch)
+    k = jax.random.key(1, impl=cfg.dropout_rng_impl)
+
+    state, loss = trainer.train_step(state, db, k)
+    float(loss)  # host read = true sync (see BASELINE.md measurement note)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = trainer.train_step(state, db, k)
+    float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "flagship train throughput (swinv2-base + t5-large x2, "
+                  f"adafactor, bf16-frozen, batch {B}/chip)",
+        "value": round(B * n_steps / dt, 2),
+        "unit": "images/sec/chip",
+        "params": n_params,
+    }))
+
+
+if __name__ == "__main__":
+    main()
