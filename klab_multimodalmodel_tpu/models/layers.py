@@ -60,19 +60,6 @@ class LayerNorm(nn.Module):
         return (y * weight + bias).astype(orig_dtype)
 
 
-def make_attention_bias(mask: jax.Array, dtype: Dtype = jnp.float32) -> jax.Array:
-    """(B, Lk) boolean/int key mask -> (B, 1, 1, Lk) additive bias."""
-    bias = jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF)
-    return bias.astype(dtype)
-
-
-def make_causal_bias(length: int, dtype: Dtype = jnp.float32) -> jax.Array:
-    """(1, 1, Lq, Lk) additive causal bias."""
-    idx = jnp.arange(length)
-    allowed = idx[:, None] >= idx[None, :]
-    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
-
-
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           scale: Optional[float] = None) -> jax.Array:
