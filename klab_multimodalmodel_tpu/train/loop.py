@@ -137,26 +137,34 @@ def train(config: Config,
                 f"({ips:.1f} img/s, {ips / max(jax.device_count(), 1):.1f} "
                 f"img/s/chip)")
 
-            meta = {"epoch": epoch, "steps": steps,
-                    "min_val_loss": min_val_loss,
-                    "train_loss": train_loss, "val_loss": val_loss}
-            if val_loss < min_val_loss:
-                min_val_loss = val_loss
-                meta["min_val_loss"] = min_val_loss
+        # Checkpoint saves are collective (every process participates in the
+        # sharded write); the decisions below are identical on all hosts
+        # because val_loss is the jit-computed global mean. Only logging is
+        # rank-0-gated.
+        meta = {"epoch": epoch, "steps": steps,
+                "min_val_loss": min_val_loss,
+                "train_loss": train_loss, "val_loss": val_loss}
+        if val_loss < min_val_loss:
+            min_val_loss = val_loss
+            meta["min_val_loss"] = min_val_loss
+            if is_main:
                 logger.info("Best Model saving...")
-                ckpt.save("best", state, meta)
+            ckpt.save("best", state, meta)
+            if is_main:
                 logger.info("Best Model saved")
 
-            if config.save_interval is not None:
-                if config.num_steps is None:
-                    if epoch % config.save_interval == 0:
-                        ckpt.save(f"epoch_{epoch}", state, meta)
+        if config.save_interval is not None:
+            if config.num_steps is None:
+                if epoch % config.save_interval == 0:
+                    ckpt.save(f"epoch_{epoch}", state, meta)
+                    if is_main:
                         logger.info(f"Model epoch_{epoch} saved")
-                else:
-                    # step-mode quirk preserved: checked once per epoch
-                    # (train.py:101-104).
-                    if steps % config.save_interval == 0:
-                        ckpt.save(f"step_{steps}", state, meta)
+            else:
+                # step-mode quirk preserved: checked once per epoch
+                # (train.py:101-104).
+                if steps % config.save_interval == 0:
+                    ckpt.save(f"step_{steps}", state, meta)
+                    if is_main:
                         logger.info(f"Model step_{steps} saved")
 
     if is_main:
