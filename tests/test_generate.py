@@ -102,3 +102,42 @@ def test_beam_search_matches_hf(hf_lm, setup, rng):
                                          max_length, 3, 1.0))
     L = ref.shape[1]
     np.testing.assert_array_equal(ours[:, :L], ref)
+
+
+def test_greedy_handles_padded_encoder_mask(setup, rng):
+    """Generation with a padded source: masked encoder positions must not
+    influence the output (cross-attention kmask path in the decode loop)."""
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(2, 8))
+    mask = np.ones((2, 8), np.int32)
+    mask[:, 5:] = 0
+    ids_garbage = ids.copy()
+    ids_garbage[:, 5:] = 3  # different pad-region content
+    enc_a = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                        attention_mask=jnp.asarray(mask),
+                        method=model.encode)
+    enc_b = model.apply({"params": params},
+                        input_ids=jnp.asarray(ids_garbage),
+                        attention_mask=jnp.asarray(mask),
+                        method=model.encode)
+    out_a = np.asarray(greedy_decode(model, params, enc_a,
+                                     jnp.asarray(mask), 10))
+    out_b = np.asarray(greedy_decode(model, params, enc_b,
+                                     jnp.asarray(mask), 10))
+    # masked positions may differ in hidden states, but generation that
+    # attends through the mask must be identical
+    np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_greedy_early_eos_pads_rest(setup, rng):
+    """Rows that emit eos early are padded afterwards and decoding stops
+    as soon as every row is finished (while_loop early exit)."""
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(4, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    out = np.asarray(greedy_decode(model, params, enc, None, 16))
+    for row in out:
+        eos_pos = np.where(row == TINY.eos_token_id)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == TINY.pad_token_id).all()
