@@ -82,7 +82,7 @@ def test_evaluate_captions_end_to_end(tmp_path, rng):
                  transformer_model_name="t5-eval-micro",
                  image_model_name="swin-eval-micro",
                  max_source_length=48, generate_max_length=8,
-                 compute_dtype="float32",
+                 compute_dtype="float32", scan_unroll=1,
                  result_dir=str(tmp_path / "results"))
     paths = []
     for i in range(2):

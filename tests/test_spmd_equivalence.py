@@ -33,7 +33,7 @@ def _run(mesh_shape, devices=None, steps=2):
                  image_model_name="swin-spmd-micro",
                  max_source_length=48, max_target_length=24, batch_size=1,
                  compute_dtype="float32", mesh_shape=mesh_shape,
-                 data_dir="synthetic")
+                 scan_unroll=1, data_dir="synthetic")
     mesh = make_mesh(mesh_shape, devices=devices)
     trainer = Trainer(cfg, mesh, num_epochs=1)
     state = trainer.init_state(jax.random.PRNGKey(0), 8)

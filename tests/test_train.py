@@ -33,7 +33,9 @@ def micro_config(tmp_path, **kw):
         image_model_name="swin-micro", max_source_length=48,
         max_target_length=24, batch_size=1, lr=1e-3,
         result_dir=str(tmp_path / "results"), data_dir="synthetic",
-        compute_dtype="float32", num_epochs=1, mesh_shape=(-1, 1, 1))
+        compute_dtype="float32", num_epochs=1, mesh_shape=(-1, 1, 1),
+        scan_unroll=1)  # micro models: fast compile; unroll equivalence is
+    # covered by test_scan_unroll_equivalence
     defaults.update(kw)
     return Config(**defaults)
 
@@ -217,3 +219,22 @@ def test_adafactor_and_frozen_bf16(tmp_path):
                                   jax.tree.leaves(after["transformer"])))
     assert d_frozen == 0.0
     assert d_train > 0.0
+
+
+def test_scan_unroll_equivalence(tmp_path):
+    """scan (unroll=1) and full unroll (0) produce identical updates."""
+    loader = _make_loader(micro_config(tmp_path), n_dev=8)
+    batch = next(iter(loader))
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    results = []
+    for unroll in (1, 0):
+        cfg = micro_config(tmp_path, scan_unroll=unroll)
+        trainer = Trainer(cfg, mesh, num_epochs=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), 8)
+        db = trainer.device_put_batch(batch)
+        state, loss = trainer.train_step(state, db, jax.random.PRNGKey(1))
+        results.append((float(loss), jax.device_get(state.params)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(results[0][1]),
+                    jax.tree.leaves(results[1][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
