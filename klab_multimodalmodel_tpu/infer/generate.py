@@ -197,8 +197,11 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
                        + jnp.arange(B)[:, None] * K).reshape(-1)  # (B*K,)
 
         def reorder(x):
-            if x.ndim >= 1 and x.shape[0] == B * K:
-                return jnp.take(x, flat_parent, axis=0)
+            # Scanned cache leaves are (num_layers, B*K, H, L, D): the batch
+            # axis is axis 1. Rank guard leaves the per-layer scalar
+            # `cache_index` (stacked to rank-1 (num_layers,)) untouched.
+            if x.ndim >= 2 and x.shape[1] == B * K:
+                return jnp.take(x, flat_parent, axis=1)
             return x
         cache = jax.tree.map(reorder, cache)
         return (step + 1, tokens, new_scores, cache, best_scores,

@@ -104,6 +104,29 @@ def test_beam_search_matches_hf(hf_lm, setup, rng):
     np.testing.assert_array_equal(ours[:, :L], ref)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_beam_search_matches_hf_stress(hf_lm, setup, seed):
+    """Stress sweep that catches cache-reorder bugs: longer horizons force
+    beams to switch parents repeatedly, so stale KV caches diverge from HF
+    within a few steps (round-1 bug: reorder applied to the layer axis of
+    the scanned (layers, B*K, H, L, D) cache, i.e. never)."""
+    model, params = setup
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    max_length = 16
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=4,
+                             do_sample=False, length_penalty=1.0,
+                             early_stopping=False).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(beam_search_decode(model, params, enc, None,
+                                         max_length, 4, 1.0))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
+    assert (ours[:, L:] == TINY.pad_token_id).all()
+
+
 def test_greedy_handles_padded_encoder_mask(setup, rng):
     """Generation with a padded source: masked encoder positions must not
     influence the output (cross-attention kmask path in the decode loop)."""
