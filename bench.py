@@ -12,8 +12,9 @@ training).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
 is the FLOP-model estimate of the reference on A100 recorded in BASELINE.md
-(see "Estimated reference baseline"): ~55 images/sec/chip for the
-t5-base-geometry benchmark workload.
+(see "Estimated reference baseline"): 240 images/sec/chip for the
+t5-base-geometry benchmark workload (matches
+BASELINE_IMAGES_PER_SEC_PER_CHIP below).
 """
 
 from __future__ import annotations

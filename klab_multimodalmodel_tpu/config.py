@@ -188,6 +188,18 @@ class Config:
     # and a guard against silent host<->device transfers inside the step.
     debug_nans: bool = False
     debug_transfer_guard: bool = False
+    # Leftover microbatches when len(loader) % accumulation_steps != 0
+    # (the reference runs a ragged final partial update, train.py:61-67):
+    #   'pad'   - run the final partial update with zero-weight padding rows
+    #             (gradient-exact equivalent of the reference's ragged step);
+    #   'drop'  - skip the leftovers (changes step counts vs the reference);
+    #   'error' - refuse to run with a non-divisible loader length.
+    accumulation_tail: str = "pad"
+    # Profiling (SURVEY.md §5.1): trace the first N optimizer steps of the
+    # first epoch into {result_dir}/profile (0 = off), and optionally serve
+    # the live profiler endpoint for TensorBoard's profile plugin.
+    profile_steps: int = 0
+    profile_server_port: int = 0  # 0 = off
     # Data pipeline
     num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
     prefetch_batches: int = 2
@@ -201,6 +213,9 @@ class Config:
     def __post_init__(self) -> None:
         if self.lr_scheduler not in ("", "cosine", "linear", "exponential", "step"):
             raise ValueError(f"unknown lr_scheduler {self.lr_scheduler!r}")
+        if self.accumulation_tail not in ("pad", "drop", "error"):
+            raise ValueError(
+                f"unknown accumulation_tail {self.accumulation_tail!r}")
 
     # -- derived model geometries ------------------------------------------
     @property
@@ -311,6 +326,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--tokenizer_path", type=str, default=d.tokenizer_path)
     parser.add_argument("--num_workers", type=int, default=d.num_workers)
+    parser.add_argument("--accumulation_tail", type=str,
+                        default=d.accumulation_tail,
+                        choices=["pad", "drop", "error"])
+    parser.add_argument("--profile_steps", type=int, default=d.profile_steps)
+    parser.add_argument("--profile_server_port", type=int,
+                        default=d.profile_server_port)
     parser.add_argument("--log_every_steps", type=int, default=d.log_every_steps)
     parser.add_argument("--generate_max_length", type=int, default=d.generate_max_length)
     parser.add_argument("--num_beams", type=int, default=d.num_beams)

@@ -32,3 +32,35 @@ def annotate(name: str):
 def start_server(port: int = 9999) -> None:
     """Live profiling endpoint for tensorboard's profile plugin."""
     jax.profiler.start_server(port)
+
+
+class StepWindowTrace:
+    """Traces the first N optimizer steps into ``{result_dir}/profile``.
+
+    Used by the train loop for ``--profile_steps N`` (SURVEY.md §5.1): call
+    ``tick()`` once per optimizer step; the trace starts before step 1 and
+    stops after step N. Safe to leave disabled (n_steps=0) — every call is a
+    no-op then.
+    """
+
+    def __init__(self, result_dir: str, n_steps: int):
+        self._path = os.path.join(result_dir, "profile")
+        self._remaining = n_steps
+        self._active = False
+
+    def tick(self) -> None:
+        if self._remaining <= 0:
+            if self._active:
+                jax.profiler.stop_trace()
+                self._active = False
+            return
+        if not self._active:
+            os.makedirs(self._path, exist_ok=True)
+            jax.profiler.start_trace(self._path)
+            self._active = True
+        self._remaining -= 1
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -26,6 +26,7 @@ import numpy as np
 from ..checkpoint.io import CheckpointManager
 from ..config import Config
 from ..data.pipeline import DataLoader, get_dataloader
+from ..obs import profiler
 from ..obs.logger import get_logger
 from ..obs.metrics import LossCounter
 from ..text.tokenizer import load_tokenizer
@@ -64,7 +65,22 @@ def train(config: Config,
         num_epochs = int(config.num_steps / len(train_loader)) + 1
 
     accum = max(config.accumulation_steps, 1)
-    opt_steps_per_epoch = max(len(train_loader) // accum, 1)
+    tail = len(train_loader) % accum
+    if tail and config.accumulation_tail == "error":
+        raise ValueError(
+            f"len(train_loader)={len(train_loader)} is not divisible by "
+            f"accumulation_steps={accum} and accumulation_tail='error'; "
+            "use 'pad' (gradient-exact partial update) or 'drop'")
+    if tail and config.accumulation_tail == "pad" and config.reference_pad_quirks:
+        raise ValueError(
+            "accumulation_tail='pad' zero-weights the padding rows, but "
+            "reference_pad_quirks keeps every position in the loss — the "
+            "combination cannot be bit-exact. Use accumulation_tail='drop' "
+            "or make len(train_loader) divisible by accumulation_steps")
+    if config.accumulation_tail == "pad":
+        opt_steps_per_epoch = max(-(-len(train_loader) // accum), 1)
+    else:
+        opt_steps_per_epoch = max(len(train_loader) // accum, 1)
 
     trainer = Trainer(config, mesh, num_epochs=num_epochs)
     state = trainer.init_state(jax.random.PRNGKey(config.seed),
@@ -92,10 +108,34 @@ def train(config: Config,
     dropout_rng = jax.random.key(config.seed + 1,
                                  impl=config.dropout_rng_impl)
 
+    if config.profile_server_port and is_main:
+        profiler.start_server(config.profile_server_port)
+    prof = profiler.StepWindowTrace(
+        config.result_dir, config.profile_steps if is_main else 0)
+
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.perf_counter()
         images_seen = 0
+
+        def run_update(merged, n_real_images):
+            nonlocal state, dropout_rng, steps, images_seen
+            prof.tick()
+            device_batch = trainer.device_put_batch(merged)
+            dropout_rng, step_rng = jax.random.split(dropout_rng)
+            with profiler.annotate("train_step"):
+                state, loss = trainer.train_step(state, device_batch,
+                                                 step_rng)
+            loss_counter.add_loss("train", loss)
+            steps += 1
+            images_seen += n_real_images
+            if (is_main and config.log_every_steps
+                    and steps % config.log_every_steps == 0):
+                dt_so_far = time.perf_counter() - epoch_t0
+                logger.info(
+                    f"step {steps}: {images_seen / dt_so_far:.1f} img/s "
+                    f"({images_seen / dt_so_far / max(jax.device_count(), 1):.1f}"
+                    f" img/s/chip)")
 
         micro_group: list = []
         for batch in train_loader:
@@ -105,22 +145,29 @@ def train(config: Config,
             merged = {k: np.concatenate([m[k] for m in micro_group])
                       for k in micro_group[0]}
             micro_group = []
-            device_batch = trainer.device_put_batch(merged)
-            dropout_rng, step_rng = jax.random.split(dropout_rng)
-            state, loss = trainer.train_step(state, device_batch, step_rng)
-            loss_counter.add_loss("train", loss)
-            steps += 1
-            images_seen += merged["images"].shape[0]
-            if (is_main and config.log_every_steps
-                    and steps % config.log_every_steps == 0):
-                dt_so_far = time.perf_counter() - epoch_t0
-                logger.info(
-                    f"step {steps}: {images_seen / dt_so_far:.1f} img/s "
-                    f"({images_seen / dt_so_far / max(jax.device_count(), 1):.1f}"
-                    f" img/s/chip)")
-        # NOTE: leftover microbatches (< accum) are dropped; the reference
-        # instead runs a ragged final update (train.py:65) — divergence
-        # documented in PARITY.md.
+            run_update(merged, merged["images"].shape[0])
+        if micro_group and config.accumulation_tail == "pad":
+            # Ragged final update (reference parity, train.py:61-67): pad
+            # the leftover microbatches to the full accum group by cycling
+            # real rows with zero target weights. Zero-weight rows produce
+            # exactly zero loss and gradients, so this is gradient-exact
+            # equivalent to the reference's smaller final group (which also
+            # scales each microbatch by 1/accumulation_steps).
+            real = {k: np.concatenate([m[k] for m in micro_group])
+                    for k in micro_group[0]}
+            n_real = real["images"].shape[0]
+            micro_rows = n_real // len(micro_group)
+            n_total = accum * micro_rows
+            idx = np.arange(n_total) % n_real
+            merged = {k: v[idx] for k, v in real.items()}
+            merged["target_mask"] = merged["target_mask"].copy()
+            merged["target_mask"][n_real:] = 0
+            run_update(merged, n_real)
+        elif micro_group:
+            # accumulation_tail == 'drop': leftovers skipped; changes step
+            # counts vs the reference (PARITY.md).
+            pass
+        micro_group = []
 
         for batch in val_loader:
             device_batch = trainer.device_put_batch(batch)
@@ -167,6 +214,7 @@ def train(config: Config,
                     if is_main:
                         logger.info(f"Model step_{steps} saved")
 
+    prof.close()
     if is_main:
         loss_counter.plot_loss(config.result_dir)
     return {"state": state, "losses": loss_counter.losses,

@@ -1,4 +1,4 @@
 from .cache import enable_compile_cache
-from .mesh import (batch_sharding, local_batch_slice, make_mesh,
-                   maybe_init_distributed, replicated, resolve_mesh_shape)
+from .mesh import (batch_sharding, make_mesh, maybe_init_distributed,
+                   replicated, resolve_mesh_shape)
 from .precision import Policy, get_policy

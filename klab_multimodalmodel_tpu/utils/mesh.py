@@ -68,14 +68,3 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def local_batch_slice(global_batch: int, mesh: Mesh) -> tuple[int, int]:
-    """(start, size) of this host's shard of the global batch.
-
-    Per-host data sharding replaces the reference's ``DistributedSampler``
-    (/root/reference/modules/loader.py:87).
-    """
-    n_proc = jax.process_count()
-    if global_batch % n_proc != 0:
-        raise ValueError(f"global batch {global_batch} % hosts {n_proc} != 0")
-    per = global_batch // n_proc
-    return jax.process_index() * per, per

@@ -238,3 +238,67 @@ def test_scan_unroll_equivalence(tmp_path):
     for a, b in zip(jax.tree.leaves(results[0][1]),
                     jax.tree.leaves(results[1][1])):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Ragged-tail accumulation (reference train.py:61-67 partial final update)
+# ---------------------------------------------------------------------------
+
+
+def test_accumulation_tail_zero_weight_rows_have_no_influence(tmp_path):
+    """The pad path's guarantee: rows with target_mask == 0 contribute
+    exactly zero gradient, so the padded content is irrelevant."""
+    cfg = micro_config(tmp_path, accumulation_steps=4)
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    loader = _make_loader(cfg, n_dev=8)
+    batch = next(iter(loader))  # 8 rows; 2 real + 6 padding below
+
+    def padded(fill_from):
+        idx = np.concatenate([np.arange(2), fill_from])
+        out = {k: v[idx] for k, v in batch.items()}
+        out["target_mask"] = out["target_mask"].copy()
+        out["target_mask"][2:] = 0
+        return out
+
+    results = []
+    for fill in (np.arange(6) % 2, 2 + np.arange(6) % 6):  # cycled vs other
+        trainer = Trainer(cfg, mesh, num_epochs=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), 8)
+        db = trainer.device_put_batch(padded(fill))
+        state, loss = trainer.train_step(state, db, jax.random.PRNGKey(1))
+        results.append((float(loss), jax.device_get(state.params)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(results[0][1]),
+                    jax.tree.leaves(results[1][1])):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_accumulation_tail_modes(tmp_path):
+    """len(loader)=3, accum=2: 'pad' runs the ragged final update
+    (2 opt steps/epoch), 'drop' skips it (1), 'error' refuses upfront."""
+    def run(mode, subdir):
+        cfg = micro_config(tmp_path, accumulation_steps=2,
+                           accumulation_tail=mode,
+                           result_dir=str(tmp_path / subdir))
+        loader = _make_loader(cfg, n=24)  # 24 / (1*8) = 3 microbatches
+        val_loader = _make_loader(cfg, n=8)
+        assert len(loader) == 3
+        return train(cfg, train_loader=loader, val_loader=val_loader,
+                     resume=False)
+
+    out_pad = run("pad", "r_pad")
+    assert int(out_pad["steps"]) == 2
+    assert all(np.isfinite(v) for v in out_pad["losses"]["train"])
+    out_drop = run("drop", "r_drop")
+    assert int(out_drop["steps"]) == 1
+    with pytest.raises(ValueError, match="accumulation_tail"):
+        run("error", "r_err")
+
+
+def test_accumulation_tail_pad_rejected_with_pad_quirks(tmp_path):
+    cfg = micro_config(tmp_path, accumulation_steps=2,
+                       accumulation_tail="pad", reference_pad_quirks=True)
+    loader = _make_loader(cfg, n=24)
+    val_loader = _make_loader(cfg, n=8)
+    with pytest.raises(ValueError, match="reference_pad_quirks"):
+        train(cfg, train_loader=loader, val_loader=val_loader, resume=False)
