@@ -79,6 +79,7 @@ def test_mesh_shape_resolution():
         resolve_mesh_shape((-1, -1, 1), 8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """The driver's multi-chip dry run must work on the 8-device CPU mesh."""
     import importlib.util

@@ -18,6 +18,7 @@ transformers = pytest.importorskip("transformers")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path, rng):
     from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
                                                  register_swin_size,

@@ -53,6 +53,7 @@ def test_bleu_basics():
     assert 0.0 < s < 1.0
 
 
+@pytest.mark.slow
 def test_evaluate_captions_end_to_end(tmp_path, rng):
     """Random-init micro model captions a 2-image synthetic val set."""
     from PIL import Image

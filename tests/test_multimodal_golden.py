@@ -94,6 +94,7 @@ def test_cascade_loss_matches_reference_assembly(towers, rng):
     np.testing.assert_allclose(float(out.loss), ref_loss, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_frozen_towers_get_zero_grads(towers, rng):
     """stop_gradient parity with torch.no_grad (model.py:20) + frozen Swin."""
     cfg = Config(language_model_name="t5-tiny-test",
@@ -125,6 +126,7 @@ def test_frozen_towers_get_zero_grads(towers, rng):
     assert tf_grad_norm > 0.0
 
 
+@pytest.mark.slow
 def test_dim_mismatch_is_projected(rng):
     """Quirk #8 fix: swin(32-d) + t5(48-d) works via the projection instead
     of crashing like the reference."""

@@ -53,6 +53,7 @@ def _run(mesh_shape, devices=None, steps=2):
     return losses, params
 
 
+@pytest.mark.slow
 def test_mesh_factorizations_agree():
     base_losses, base_params = _run((1, 1, 1), devices=jax.devices()[:1])
     for mesh_shape in [(8, 1, 1), (2, 2, 2), (1, 4, 2)]:

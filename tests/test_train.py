@@ -114,6 +114,7 @@ def _make_loader(cfg, n=16, n_dev=8):
                       max_target_length=cfg.max_target_length, seed=0)
 
 
+@pytest.mark.slow
 def test_train_step_dp_fsdp(tmp_path):
     """One update on a (2,2,2) data/fsdp/tensor mesh: loss finite, frozen
     towers unchanged, transformer moves."""
@@ -144,6 +145,7 @@ def test_train_step_dp_fsdp(tmp_path):
     assert np.isfinite(float(vloss))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalence(tmp_path):
     """accum=2 over a batch == accum=1 over the same batch (mean grads)."""
     cfg1 = micro_config(tmp_path, accumulation_steps=1)
@@ -245,6 +247,7 @@ def test_scan_unroll_equivalence(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_accumulation_tail_zero_weight_rows_have_no_influence(tmp_path):
     """The pad path's guarantee: rows with target_mask == 0 contribute
     exactly zero gradient, so the padded content is irrelevant."""
@@ -273,6 +276,7 @@ def test_accumulation_tail_zero_weight_rows_have_no_influence(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_accumulation_tail_modes(tmp_path):
     """len(loader)=3, accum=2: 'pad' runs the ragged final update
     (2 opt steps/epoch), 'drop' skips it (1), 'error' refuses upfront."""
