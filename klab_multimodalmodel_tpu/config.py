@@ -170,6 +170,13 @@ class Config:
     # already near the VPU/bandwidth bound there) — default off; the kernel
     # is the foundation for long-context / larger-window configs.
     use_pallas_attention: bool = False
+    # Route T5 full-sequence attention (both towers + enc-dec) through the
+    # fused Pallas kernel with per-stack bias packing and in-kernel dropout.
+    # Measured 0.86x XLA on the full train step at the bench geometry
+    # (BASELINE.md ablation; tools/bench_t5_pallas.py) — the recompute
+    # backward costs more than fused dropout saves at these short sequence
+    # lengths, so default off. Decode steps always use the XLA path.
+    use_pallas_t5_attention: bool = False
     # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
     # attention masks and does not mask pad positions out of the loss.
     # Defaults fix both; set True for bit-parity with the reference.
@@ -322,6 +329,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", type=str, default=d.remat,
                         choices=["", "full", "dots_saveable"])
+    parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--use_pallas_t5_attention", action="store_true")
     parser.add_argument("--reference_pad_quirks", action="store_true")
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--tokenizer_path", type=str, default=d.tokenizer_path)

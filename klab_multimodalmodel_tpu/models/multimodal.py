@@ -51,10 +51,12 @@ class MultiModalModel(nn.Module):
             name="image_model")
         self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
                                         scan_unroll=cfg.scan_unroll,
+                                        use_pallas=cfg.use_pallas_t5_attention,
                                         name="language_model")
         self.transformer = T5ForConditionalGeneration(
             cfg.transformer_t5, dtype=self.dtype, remat=cfg.remat,
-            scan_unroll=cfg.scan_unroll, name="transformer")
+            scan_unroll=cfg.scan_unroll,
+            use_pallas=cfg.use_pallas_t5_attention, name="transformer")
         d_model = cfg.transformer_t5.d_model
         vis_dim = cfg.swin.num_features
         self.needs_vision_proj = (

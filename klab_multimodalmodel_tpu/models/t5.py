@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import T5Size
+from ..ops.fused_attention import (pack_head_bias, pick_group,
+                                   t5_fused_attention_packed)
 from .layers import NEG_INF, RMSNorm, dot_product_attention
 
 Dtype = Any
@@ -111,6 +113,7 @@ class T5Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
                  bias: Optional[jax.Array] = None,
+                 pallas_pack: Optional[tuple] = None,
                  deterministic: bool = True,
                  decode: bool = False) -> jax.Array:
         s = self.size
@@ -134,6 +137,22 @@ class T5Attention(nn.Module):
         src = kv if is_cross else x
         k = split_heads(k_proj(src))
         v = split_heads(v_proj(src))
+
+        if pallas_pack is not None and not decode:
+            # Fused Pallas path (train/eval full-sequence attention): the
+            # packed block-diagonal bias was built ONCE per stack; dropout
+            # runs in-kernel on the probs (replacing nn.Dropout below),
+            # regenerated bit-identically in the custom-VJP backward.
+            packed_bias, kmask, G = pallas_pack
+            rate = 0.0 if deterministic else s.dropout_rate
+            seed = (jax.random.randint(self.make_rng("dropout"), (), 0,
+                                       np.iinfo(np.int32).max, dtype=jnp.int32)
+                    if rate > 0 else 0)
+            attn = t5_fused_attention_packed(q, k, v, packed_bias, kmask,
+                                             rate, seed, G)
+            attn = attn.transpose(0, 2, 1, 3).reshape(
+                x.shape[:-1] + (inner,))
+            return o_proj(attn)
 
         if decode:
             # Fixed-shape cache: (B, H, max_len, d_kv) + scalar write index.
@@ -202,18 +221,20 @@ class T5Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, self_bias, enc_out, cross_bias,
+                 self_pack=None, cross_pack=None,
                  deterministic: bool = True, decode: bool = False):
         s = self.size
         drop = nn.Dropout(s.dropout_rate)
         h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_self")(x)
         h = T5Attention(s, dtype=self.dtype, name="SelfAttention")(
-            h, bias=self_bias, deterministic=deterministic, decode=decode)
+            h, bias=self_bias, pallas_pack=self_pack,
+            deterministic=deterministic, decode=decode)
         x = x + drop(h, deterministic=deterministic)
         if self.has_cross_attention:
             h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_cross")(x)
             h = T5Attention(s, dtype=self.dtype, name="EncDecAttention")(
-                h, kv=enc_out, bias=cross_bias, deterministic=deterministic,
-                decode=decode)
+                h, kv=enc_out, bias=cross_bias, pallas_pack=cross_pack,
+                deterministic=deterministic, decode=decode)
             x = x + drop(h, deterministic=deterministic)
         h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_mlp")(x)
         h = T5Mlp(s, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
@@ -235,16 +256,28 @@ class _ScanBlock(nn.Module):
     decode: bool
 
     @nn.compact
-    def __call__(self, carry, self_bias, enc_out, cross_bias):
+    def __call__(self, carry, self_bias, enc_out, cross_bias, self_pack,
+                 cross_pack):
         x = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
                     name="block")(carry, self_bias, enc_out, cross_bias,
+                                  self_pack=self_pack, cross_pack=cross_pack,
                                   deterministic=self.deterministic,
                                   decode=self.decode)
         return x, None
 
 
 class T5Stack(nn.Module):
-    """Encoder or decoder stack (embedding handled by the caller)."""
+    """Encoder or decoder stack (embedding handled by the caller).
+
+    Bias plumbing: callers pass the DECOMPOSED attention inputs — a shared
+    per-head additive bias ``head_bias`` (H, Q, K) (relative-position buckets
+    [+ causal], or the sliced current row in decode mode) and raw key masks
+    ``kmask``/``cross_kmask`` (B, K). The stack assembles them per backend:
+      * XLA path: broadcast-summed into dense (B|1, H, Q, K) logit biases;
+      * Pallas path (``use_pallas``): the head bias is block-diagonal-packed
+        ONCE here (not per scanned layer) and key masks ride into the kernel
+        as (B, K) rows — the packing cost is amortized across the stack.
+    """
 
     size: T5Size
     num_layers: int
@@ -254,17 +287,41 @@ class T5Stack(nn.Module):
     # scan unroll factor: trades compile time for runtime (XLA can fuse and
     # software-pipeline across unrolled layers). 1 = pure while-loop scan.
     scan_unroll: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array,
-                 self_bias: Optional[jax.Array] = None,
+                 head_bias: Optional[jax.Array] = None,
+                 kmask: Optional[jax.Array] = None,
                  enc_out: Optional[jax.Array] = None,
-                 cross_bias: Optional[jax.Array] = None,
+                 cross_kmask: Optional[jax.Array] = None,
                  deterministic: bool = True,
                  decode: bool = False) -> jax.Array:
         s = self.size
+        B, L = inputs_embeds.shape[:2]
         x = nn.Dropout(s.dropout_rate)(inputs_embeds,
                                        deterministic=deterministic)
+
+        self_bias = cross_bias = self_pack = cross_pack = None
+        if self.use_pallas and not decode:
+            G = pick_group(B, L, L)
+            packed = (pack_head_bias(head_bias, G)
+                      if head_bias is not None else None)
+            self_pack = (packed, kmask, G)
+            if enc_out is not None:
+                Gx = pick_group(B, L, enc_out.shape[1])
+                cross_pack = (None, cross_kmask, Gx)
+        else:
+            if head_bias is not None:
+                self_bias = head_bias[None]
+            mask_bias = _mask_to_bias(kmask, B, L)
+            if mask_bias is not None:
+                self_bias = (mask_bias if self_bias is None
+                             else self_bias + mask_bias)
+            if enc_out is not None:
+                cross_bias = _mask_to_bias(cross_kmask, B,
+                                           enc_out.shape[1])
+
         block_cls = _ScanBlock
         if self.remat == "full":
             block_cls = nn.remat(block_cls)
@@ -275,13 +332,14 @@ class T5Stack(nn.Module):
             block_cls,
             variable_axes={"params": 0, "cache": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 3,
+            in_axes=(nn.broadcast,) * 5,
             length=self.num_layers,
             unroll=self.num_layers if self.scan_unroll == 0
             else self.scan_unroll,
         )(s, self.is_decoder, self.dtype, deterministic, decode,
           name="layers")
-        x, _ = blocks(x, self_bias, enc_out, cross_bias)
+        x, _ = blocks(x, self_bias, enc_out, cross_bias, self_pack,
+                      cross_pack)
         x = RMSNorm(epsilon=s.layer_norm_epsilon, name="final_layer_norm")(x)
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
         return x
@@ -315,6 +373,7 @@ class T5Encoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: str = ""
     scan_unroll: int = 0
+    use_pallas: bool = False
 
     def setup(self):
         s = self.size
@@ -328,6 +387,7 @@ class T5Encoder(nn.Module):
         self.stack = T5Stack(s, s.num_layers, is_decoder=False,
                              dtype=self.dtype, remat=self.remat,
                              scan_unroll=self.scan_unroll,
+                             use_pallas=self.use_pallas,
                              name="encoder")
 
     def __call__(self, input_ids: Optional[jax.Array] = None,
@@ -336,12 +396,9 @@ class T5Encoder(nn.Module):
                  deterministic: bool = True) -> jax.Array:
         if inputs_embeds is None:
             inputs_embeds = self.shared(input_ids)
-        B, L = inputs_embeds.shape[:2]
-        bias = self.relpos(L, L)
-        mask_bias = _mask_to_bias(attention_mask, B, L)
-        if mask_bias is not None:
-            bias = bias + mask_bias
-        return self.stack(inputs_embeds, self_bias=bias,
+        L = inputs_embeds.shape[1]
+        return self.stack(inputs_embeds, head_bias=self.relpos(L, L)[0],
+                          kmask=attention_mask,
                           deterministic=deterministic)
 
 
@@ -387,6 +444,7 @@ class T5ForConditionalGeneration(nn.Module):
     dtype: Dtype = jnp.float32
     remat: str = ""
     scan_unroll: int = 0
+    use_pallas: bool = False
 
     def setup(self):
         s = self.size
@@ -403,10 +461,12 @@ class T5ForConditionalGeneration(nn.Module):
             num_heads=s.num_heads, bidirectional=False, name="dec_relpos_bias")
         self.encoder = T5Stack(s, s.num_layers, is_decoder=False,
                                dtype=self.dtype, remat=self.remat,
-                               scan_unroll=self.scan_unroll, name="encoder")
+                               scan_unroll=self.scan_unroll,
+                               use_pallas=self.use_pallas, name="encoder")
         self.decoder = T5Stack(s, s.num_decoder_layers, is_decoder=True,
                                dtype=self.dtype, remat=self.remat,
-                               scan_unroll=self.scan_unroll, name="decoder")
+                               scan_unroll=self.scan_unroll,
+                               use_pallas=self.use_pallas, name="decoder")
         if not s.tie_word_embeddings:
             self.lm_head = nn.Dense(
                 s.vocab_size, use_bias=False, dtype=self.dtype,
@@ -418,12 +478,9 @@ class T5ForConditionalGeneration(nn.Module):
                deterministic: bool = True) -> jax.Array:
         if inputs_embeds is None:
             inputs_embeds = self.shared(input_ids)
-        B, L = inputs_embeds.shape[:2]
-        bias = self.enc_relpos(L, L)
-        mask_bias = _mask_to_bias(attention_mask, B, L)
-        if mask_bias is not None:
-            bias = bias + mask_bias
-        return self.encoder(inputs_embeds, self_bias=bias,
+        L = inputs_embeds.shape[1]
+        return self.encoder(inputs_embeds, head_bias=self.enc_relpos(L, L)[0],
+                            kmask=attention_mask,
                             deterministic=deterministic)
 
     def _lm_logits(self, hidden: jax.Array) -> jax.Array:
@@ -436,15 +493,13 @@ class T5ForConditionalGeneration(nn.Module):
     def decode_train(self, decoder_input_ids, encoder_hidden,
                      encoder_attention_mask=None, decoder_attention_mask=None,
                      deterministic: bool = True) -> jax.Array:
-        B, L = decoder_input_ids.shape
+        L = decoder_input_ids.shape[1]
         dec_embeds = self.shared(decoder_input_ids)
-        self_bias = self.dec_relpos(L, L) + causal_bias(L)
-        if decoder_attention_mask is not None:
-            self_bias = self_bias + _mask_to_bias(decoder_attention_mask, B, L)
-        cross_bias = _mask_to_bias(encoder_attention_mask, B,
-                                   encoder_hidden.shape[1])
-        hidden = self.decoder(dec_embeds, self_bias=self_bias,
-                              enc_out=encoder_hidden, cross_bias=cross_bias,
+        head_bias = self.dec_relpos(L, L)[0] + causal_bias(L)[0, 0]
+        hidden = self.decoder(dec_embeds, head_bias=head_bias,
+                              kmask=decoder_attention_mask,
+                              enc_out=encoder_hidden,
+                              cross_kmask=encoder_attention_mask,
                               deterministic=deterministic)
         return self._lm_logits(hidden)
 
@@ -455,16 +510,13 @@ class T5ForConditionalGeneration(nn.Module):
 
         ``decoder_input_token`` is (B, 1); returns (B, 1, vocab) logits.
         """
-        s = self.size
         dec_embeds = self.shared(decoder_input_token)
         # Bias row for the current step against the full cache length.
-        full_bias = self.dec_relpos(max_decode_len, max_decode_len)
-        self_bias = jax.lax.dynamic_slice_in_dim(full_bias, step, 1, axis=2)
-        cross_bias = _mask_to_bias(encoder_attention_mask,
-                                   dec_embeds.shape[0],
-                                   encoder_hidden.shape[1])
-        hidden = self.decoder(dec_embeds, self_bias=self_bias,
-                              enc_out=encoder_hidden, cross_bias=cross_bias,
+        full_bias = self.dec_relpos(max_decode_len, max_decode_len)[0]
+        head_bias = jax.lax.dynamic_slice_in_dim(full_bias, step, 1, axis=1)
+        hidden = self.decoder(dec_embeds, head_bias=head_bias,
+                              enc_out=encoder_hidden,
+                              cross_kmask=encoder_attention_mask,
                               deterministic=True, decode=True)
         return self._lm_logits(hidden)
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Measure the fused T5 Pallas attention vs the XLA path on the real chip.
+
+Runs the full multimodal train step at the bench geometry (bench.py:
+swinv2-base + t5-base towers, bf16, batch 32/chip, dropout active) with
+``use_pallas_t5_attention`` off/on and reports the ratio — the VERDICT r1
+item 3 "measure the t5 grad step with in-kernel dropout" artifact. The
+result is recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(use_pallas: bool, n_steps: int = 20) -> float:
+    import jax
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.train import Trainer
+    from klab_multimodalmodel_tpu.utils import enable_compile_cache, make_mesh
+
+    enable_compile_cache()
+    n_dev = len(jax.devices())
+    batch_per_chip = int(os.environ.get("KLAB_BENCH_BATCH", "32"))
+    cfg = Config(language_model_name="t5-base",
+                 transformer_model_name="t5-base",
+                 max_source_length=64, max_target_length=32,
+                 batch_size=batch_per_chip, compute_dtype="bfloat16",
+                 mesh_shape=(-1, 1, 1), data_dir="synthetic",
+                 use_pallas_t5_attention=use_pallas)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_per_chip * n_dev)
+
+    B = batch_per_chip * n_dev
+    S = cfg.swin.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8),
+        "source_ids": rng.integers(
+            2, 1000, (B, cfg.max_source_length)).astype(np.int32),
+        "source_mask": np.ones((B, cfg.max_source_length), np.int32),
+        "target_ids": rng.integers(
+            2, 1000, (B, cfg.max_target_length)).astype(np.int32),
+        "target_mask": np.ones((B, cfg.max_target_length), np.int32),
+    }
+    device_batch = trainer.device_put_batch(batch)
+    step_rng = jax.random.key(1, impl=cfg.dropout_rng_impl)
+    state, loss = trainer.train_step(state, device_batch, step_rng)
+    assert np.isfinite(float(loss)), f"loss not finite (pallas={use_pallas})"
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = trainer.train_step(state, device_batch, step_rng)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return B * n_steps / dt
+
+
+def main() -> None:
+    xla = measure(False)
+    pallas = measure(True)
+    print(json.dumps({
+        "metric": "t5 fused-attention pallas vs xla (full train step)",
+        "xla_img_per_sec": round(xla, 2),
+        "pallas_img_per_sec": round(pallas, 2),
+        "ratio": round(pallas / xla, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
