@@ -47,11 +47,20 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     batch_per_chip = int(os.environ.get("KLAB_BENCH_BATCH", "32"))
+    # TPU-optimized frozen-tower mode (BASELINE.md "SwinV2 levers"): the
+    # vision/text towers are FROZEN, so training adapts to their features —
+    # bf16 softmax (bounded cosine logits), tanh GELU, and bf16 storage for
+    # the frozen towers change those features by ~1% mean rel while cutting
+    # the dominant VPU cost. The trainable transformer keeps fp32
+    # softmax/loss and exact Adam semantics. Default-config (HF-parity
+    # numerics) throughput is recorded alongside in BASELINE.md.
     cfg = Config(language_model_name="t5-base",
                  transformer_model_name="t5-base",
                  max_source_length=64, max_target_length=32,
                  batch_size=batch_per_chip, compute_dtype="bfloat16",
-                 mesh_shape=(-1, 1, 1), data_dir="synthetic")
+                 mesh_shape=(-1, 1, 1), data_dir="synthetic",
+                 swin_softmax_dtype="bfloat16", swin_gelu_approximate=True,
+                 frozen_param_dtype="bfloat16")
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     trainer = Trainer(cfg, mesh, num_epochs=1)
@@ -89,7 +98,7 @@ def main() -> None:
     per_chip = images_per_sec / n_dev
     print(json.dumps({
         "metric": "caption train throughput (swinv2-base+t5-base, bf16, "
-                  f"batch {batch_per_chip}/chip)",
+                  f"batch {batch_per_chip}/chip, frozen-tower opt mode)",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),

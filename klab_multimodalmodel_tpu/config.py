@@ -165,6 +165,15 @@ class Config:
     # Store the FROZEN towers' params in bf16 (they only feed bf16 compute
     # and receive no updates — numerically identical to the compute path).
     frozen_param_dtype: str = "float32"
+    # dtype of the SwinV2 attention logits/softmax chain. The fp32 default
+    # matches HF numerics; 'bfloat16' halves the dominant VPU/HBM cost of
+    # the frozen vision tower (cosine-attention logits are bounded, so bf16
+    # softmax is numerically safe; measured impact in BASELINE.md).
+    swin_softmax_dtype: str = "float32"
+    # SwinV2 MLP activation: exact erf GELU (HF parity) vs the tanh
+    # approximation — erf is the VPU-heaviest op of the frozen MLPs
+    # (~500M elements/step at batch 32); deviation ~1e-3, opt-in.
+    swin_gelu_approximate: bool = False
     # Route SwinV2 window attention through the fused Pallas kernel.
     # Measured 0.91x XLA on v5e for the 256px geometry (XLA's fusions are
     # already near the VPU/bandwidth bound there) — default off; the kernel
@@ -330,6 +339,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--remat", type=str, default=d.remat,
                         choices=["", "full", "dots_saveable"])
     parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--swin_softmax_dtype", type=str,
+                        default=d.swin_softmax_dtype,
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--swin_gelu_approximate", action="store_true")
     parser.add_argument("--use_pallas_t5_attention", action="store_true")
     parser.add_argument("--reference_pad_quirks", action="store_true")
     parser.add_argument("--freeze_image_model_updates", action="store_true")

@@ -48,6 +48,9 @@ class MultiModalModel(nn.Module):
         cfg = self.config
         self.image_model = SwinV2Encoder(
             cfg.swin, use_pallas=cfg.use_pallas_attention, dtype=self.dtype,
+            softmax_dtype=jnp.bfloat16
+            if cfg.swin_softmax_dtype == "bfloat16" else jnp.float32,
+            gelu_approximate=cfg.swin_gelu_approximate,
             name="image_model")
         self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
                                         scan_unroll=cfg.scan_unroll,
@@ -85,11 +88,17 @@ class MultiModalModel(nn.Module):
         frozen; image tower frozen unless ``--image_model_train``.
         """
         cfg = self.config
+        # Reference parity: ``train.py:52`` toggles ONLY ``transformer`` to
+        # train mode — the SwinV2 and T5-encoder towers stay in eval mode
+        # (no dropout / drop-path) even under ``--image_model_train``, which
+        # changes requires_grad but never calls ``.train()``. Running the
+        # towers deterministically also removes their drop-path/dropout
+        # masks from the hot step (frozen-tower VPU work).
         lang = self.language_model(input_ids=source_ids,
                                    attention_mask=source_mask,
-                                   deterministic=deterministic)
+                                   deterministic=True)
         lang = jax.lax.stop_gradient(lang)  # torch.no_grad parity
-        img = self.image_model(images, deterministic=deterministic)
+        img = self.image_model(images, deterministic=True)
         if not cfg.image_model_train:
             img = jax.lax.stop_gradient(img)
         if self.needs_vision_proj:

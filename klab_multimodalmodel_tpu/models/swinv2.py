@@ -128,6 +128,11 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    # dtype of the logits/softmax chain. fp32 default; bf16 halves the HBM
+    # traffic and doubles VPU packing on the dominant (B*nW, H, N, N)
+    # elementwise work — safe for cosine attention (logits bounded by the
+    # clamped scale + 16-bounded CPB bias), opt-in for frozen towers.
+    softmax_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[np.ndarray] = None,
@@ -163,12 +168,14 @@ class WindowAttention(nn.Module):
         if self.use_pallas:
             from ..ops.fused_attention import swin_fused_attention
 
-            out = swin_fused_attention(q, k, v, logit_scale, bias_h, mask)
+            out = swin_fused_attention(q, k, v, logit_scale, bias_h, mask,
+                                       softmax_dtype=self.softmax_dtype)
             out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
         # Cosine attention: L2-normalize q and k in fp32, scale by the learned
         # clamped temperature (v2 replacement for 1/sqrt(d)).
+        sm = self.softmax_dtype
         q32 = q.astype(jnp.float32)
         k32 = k.astype(jnp.float32)
         q32 = q32 / jnp.maximum(
@@ -177,15 +184,15 @@ class WindowAttention(nn.Module):
             jnp.linalg.norm(k32, axis=-1, keepdims=True), 1e-12)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q32.astype(self.dtype),
                             k32.astype(self.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=sm)
         scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))
-        logits = logits * scale[None, :, None, None]
-        logits = logits + bias_h[None]
+        logits = logits * scale[None, :, None, None].astype(sm)
+        logits = logits + bias_h[None].astype(sm)
 
         if mask is not None:
             nW = mask.shape[0]
             logits = logits.reshape(Bn // nW, nW, H, N, N)
-            logits = logits + jnp.asarray(mask)[None, :, None]
+            logits = logits + jnp.asarray(mask, sm)[None, :, None]
             logits = logits.reshape(Bn, H, N, N)
 
         probs = jax.nn.softmax(logits, axis=-1)
@@ -231,6 +238,8 @@ class SwinV2Block(nn.Module):
     pretrained_window_size: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    softmax_dtype: Dtype = jnp.float32
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -251,7 +260,8 @@ class SwinV2Block(nn.Module):
             dim=C, num_heads=self.num_heads, window_size=w,
             pretrained_window_size=self.pretrained_window_size,
             qkv_bias=self.qkv_bias, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="attn")(
+            dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+            name="attn")(
                 windows, mask=mask, deterministic=deterministic)
         h = window_reverse(attn, w, R, R)
         if s > 0:
@@ -260,9 +270,11 @@ class SwinV2Block(nn.Module):
         h = LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(h)
         x = shortcut + DropPath(self.drop_path_rate)(h, deterministic)
 
-        # Exact (erf) GELU — HF's "gelu" activation, not the tanh approximation.
+        # Exact (erf) GELU matches HF's "gelu"; the tanh approximation is an
+        # opt-in perf lever (erf is the VPU-heaviest op of the frozen MLPs).
         h = MlpBlock(hidden_dim=int(C * self.mlp_ratio), out_dim=C,
-                     activation=lambda t: nn.gelu(t, approximate=False),
+                     activation=lambda t: nn.gelu(
+                         t, approximate=self.gelu_approximate),
                      dtype=self.dtype, name="mlp")(
                          x, deterministic=deterministic)
         h = LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(h)
@@ -299,6 +311,8 @@ class SwinV2Encoder(nn.Module):
     size: SwinV2Size
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    softmax_dtype: Dtype = jnp.float32
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array,
@@ -328,7 +342,9 @@ class SwinV2Encoder(nn.Module):
                     layer_norm_eps=cfg.layer_norm_eps,
                     pretrained_window_size=cfg.pretrained_window_sizes[si],
                     use_pallas=self.use_pallas,
-                    dtype=self.dtype, name=f"stage_{si}_block_{li}")(
+                    dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                    gelu_approximate=self.gelu_approximate,
+                    name=f"stage_{si}_block_{li}")(
                         x, deterministic=deterministic)
                 b += 1
             if si < len(cfg.depths) - 1:

@@ -39,7 +39,7 @@ the backward kernel accumulates the bias gradient into a single revisited
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,7 @@ def pack_window_masks(wmask: np.ndarray, G: int) -> np.ndarray:
 
 def _fwd_kernel(*refs, G: int, Q: int, K: int, cosine: bool,
                 has_bias_h: bool, has_bias_g: bool, has_kmask: bool,
-                dropout_rate: float, out_dtype):
+                dropout_rate: float, out_dtype, sm_dtype=jnp.float32):
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
@@ -139,20 +139,24 @@ def _fwd_kernel(*refs, G: int, Q: int, K: int, cosine: bool,
         k = (k32 * jax.lax.rsqrt(
             jnp.sum(k32 * k32, -1, keepdims=True) + 1e-24)).astype(k.dtype)
 
+    # Mosaic requires a 32-bit matmul accumulator; the softmax chain then
+    # runs in sm_dtype (bf16 halves the dominant elementwise VPU work).
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (GQ, GK): ONE dense matmul
+        preferred_element_type=jnp.float32).astype(
+            sm_dtype)  # (GQ, GK): ONE dense matmul
 
     if cosine:
         s = jnp.exp(jnp.minimum(scale_ref[pl.program_id(0)],
-                                np.log(100.0)))
+                                np.log(100.0))).astype(sm_dtype)
         logits = logits * s
     if has_bias_h:
-        logits = logits + bias_h_ref[0]
+        logits = logits + bias_h_ref[0].astype(sm_dtype)
     if has_bias_g:
-        logits = logits + bias_g_ref[0]
+        logits = logits + bias_g_ref[0].astype(sm_dtype)
     if has_kmask:
-        logits = logits + jnp.where(kmask_ref[0, 0] > 0, 0.0, NEG)[None, :]
+        logits = logits + jnp.where(kmask_ref[0, 0] > 0, 0.0,
+                                    NEG).astype(sm_dtype)[None, :]
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -299,7 +303,7 @@ def _to_head_major(x):
 
 
 def _fwd(q, k, v, bias_h, bias_g, kmask, scale, cosine, dropout_rate, seed,
-         G):
+         G, sm_dtype=jnp.float32):
     """q/k/v: (B, H, L, D); bias_h: (H|1, GQ, GK); bias_g: (ngroups, GQ, GK);
     kmask: (B//G, G*K)."""
     B, H, Q, D = q.shape
@@ -310,7 +314,7 @@ def _fwd(q, k, v, bias_h, bias_g, kmask, scale, cosine, dropout_rate, seed,
         _fwd_kernel, G=G, Q=Q, K=K, cosine=cosine,
         has_bias_h=bias_h is not None, has_bias_g=bias_g is not None,
         has_kmask=kmask is not None, dropout_rate=dropout_rate,
-        out_dtype=q.dtype)
+        out_dtype=q.dtype, sm_dtype=sm_dtype)
     args = []
     if dropout_rate > 0:
         args.append(jnp.asarray([seed], jnp.int32))
@@ -488,25 +492,29 @@ def _swin_reference(q, k, v, scale, bias_h, wmask):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _swin_attention(G, q, k, v, scale, bias_h, wmask, packed_wmask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _swin_attention(G, sm_name, q, k, v, scale, bias_h, wmask, packed_wmask):
+    sm_dtype = jnp.bfloat16 if sm_name == "bfloat16" else jnp.float32
     if packed_wmask is None:
         # unshifted: head bias packed on the diagonal carries the mask
         packed_bias = pack_head_bias(bias_h, G)
-        return _fwd(q, k, v, packed_bias, None, None, scale, True, 0.0, 0, G)
+        return _fwd(q, k, v, packed_bias, None, None, scale, True, 0.0, 0, G,
+                    sm_dtype)
     # shifted: dense-tiled head bias (off-diag irrelevant) + static packed
     # window masks (which carry the off-diag NEG)
     bias_dense = jnp.tile(bias_h.astype(jnp.float32), (1, G, G))
     return _fwd(q, k, v, bias_dense, packed_wmask, None, scale, True, 0.0,
-                0, G)
+                0, G, sm_dtype)
 
 
-def _swin_attention_fwd(G, q, k, v, scale, bias_h, wmask, packed_wmask):
-    return (_swin_attention(G, q, k, v, scale, bias_h, wmask, packed_wmask),
+def _swin_attention_fwd(G, sm_name, q, k, v, scale, bias_h, wmask,
+                        packed_wmask):
+    return (_swin_attention(G, sm_name, q, k, v, scale, bias_h, wmask,
+                            packed_wmask),
             (q, k, v, scale, bias_h, wmask))
 
 
-def _swin_attention_bwd(G, res, do):
+def _swin_attention_bwd(G, sm_name, res, do):
     # XLA recompute backward (exercised in --image_model_train mode only);
     # gradients flow to q/k/v, the logit scale, and the CPB bias.
     q, k, v, scale, bias_h, wmask = res
@@ -525,20 +533,25 @@ _swin_attention.defvjp(_swin_attention_fwd, _swin_attention_bwd)
 
 def swin_fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          logit_scale: jax.Array, bias_h: jax.Array,
-                         window_mask: Optional[np.ndarray] = None
-                         ) -> jax.Array:
+                         window_mask: Optional[np.ndarray] = None,
+                         softmax_dtype: Any = jnp.float32) -> jax.Array:
     """SwinV2 scaled-cosine window attention, fused.
 
     q/k/v: (B*nW, H, N, D); logit_scale: (H,) raw learned scale (clamp+exp
     in-kernel); bias_h: (H, N, N) CPB bias (learned -> gradient flows);
-    window_mask: static numpy (nW, N, N) additive mask or None.
+    window_mask: static numpy (nW, N, N) additive mask or None;
+    softmax_dtype: in-kernel logits/softmax dtype (bf16 halves the VPU work
+    of the bounded cosine logits; backward recompute stays fp32).
     """
     B, H, N, D = q.shape
+    sm_name = "bfloat16" if softmax_dtype == jnp.bfloat16 else "float32"
     if window_mask is not None:
         nW = window_mask.shape[0]
         G = pick_group(int(np.gcd(B, nW)), N, N)
         packed = jnp.asarray(pack_window_masks(np.asarray(window_mask), G))
         wm = jnp.asarray(window_mask, jnp.float32)
-        return _swin_attention(G, q, k, v, logit_scale, bias_h, wm, packed)
+        return _swin_attention(G, sm_name, q, k, v, logit_scale, bias_h, wm,
+                               packed)
     G = pick_group(B, N, N)
-    return _swin_attention(G, q, k, v, logit_scale, bias_h, None, None)
+    return _swin_attention(G, sm_name, q, k, v, logit_scale, bias_h, None,
+                           None)

@@ -60,3 +60,28 @@ def test_swinv2_output_geometry():
     size = SwinV2Size()
     assert size.num_features == 1024
     assert size.num_patches_out == 64
+
+
+def test_swin_bf16_softmax_and_tanh_gelu_close_to_fp32(rng):
+    """Opt-in perf levers (BASELINE.md r2): bf16 softmax chain + tanh GELU
+    must stay within bf16-level deviation of the fp32/erf default — the
+    bound quoted for the frozen-tower opt mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from klab_multimodalmodel_tpu.config import SwinV2Size
+    from klab_multimodalmodel_tpu.models.swinv2 import SwinV2Encoder
+
+    size = SwinV2Size(image_size=32, patch_size=4, embed_dim=16,
+                      depths=(2, 2), num_heads=(2, 4), window_size=4,
+                      drop_path_rate=0.0, pretrained_window_sizes=(0, 0))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref_model = SwinV2Encoder(size)
+    params = ref_model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(ref_model.apply({"params": params}, x), np.float32)
+    opt_model = SwinV2Encoder(size, softmax_dtype=jnp.bfloat16,
+                              gelu_approximate=True)
+    out = np.asarray(opt_model.apply({"params": params}, x), np.float32)
+    scale = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / scale < 0.05
+    np.testing.assert_allclose(out, ref, atol=0.35)  # bf16-level bound
