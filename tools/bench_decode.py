@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""p50 greedy-decode caption latency on the real chip (BASELINE.md metric 3).
+"""p50/p90 caption-decode latency on the real chip (BASELINE.md metric 3).
 
 Measures the full inference path at batch 1: multimodal encode (SwinV2 +
-frozen T5 encoder + main T5 encoder over the concat) and the KV-cache greedy
-decode loop at the reference's HF-default max_length=20.
+frozen T5 encoder + main T5 encoder over the concat) and the KV-cache decode
+loop at the reference's HF-default max_length=20 — greedy AND beam search
+(num_beams=4; the cache-reorder gathers cost something, VERDICT r1 item 6).
 """
 
 from __future__ import annotations
@@ -24,7 +25,8 @@ def main() -> None:
 
     from klab_multimodalmodel_tpu.config import Config
     from klab_multimodalmodel_tpu.data.image_ops import normalize_images
-    from klab_multimodalmodel_tpu.infer import greedy_decode
+    from klab_multimodalmodel_tpu.infer import (beam_search_decode,
+                                                greedy_decode)
     from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
     from klab_multimodalmodel_tpu.utils import enable_compile_cache
 
@@ -50,25 +52,30 @@ def main() -> None:
                            normalize_images(img, dtype=jnp.bfloat16), src,
                            mask, method=model.encode_for_generation)
 
-    def caption_once():
+    def caption_once(num_beams: int):
         enc, enc_mask = encode(params, img, src, mask)
-        ids = greedy_decode(t5, params["transformer"], enc, enc_mask,
-                            cfg.generate_max_length)
+        if num_beams == 1:
+            ids = greedy_decode(t5, params["transformer"], enc, enc_mask,
+                                cfg.generate_max_length)
+        else:
+            ids = beam_search_decode(t5, params["transformer"], enc,
+                                     enc_mask, cfg.generate_max_length,
+                                     num_beams, 1.0)
         return np.asarray(ids)  # host read = sync
 
-    caption_once()  # compile
-    lat = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        caption_once()
-        lat.append(time.perf_counter() - t0)
-    lat_ms = sorted(x * 1e3 for x in lat)
-    print(json.dumps({
-        "metric": "p50 greedy caption latency (batch 1, max_length 20)",
-        "p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
-        "p90_ms": round(lat_ms[int(len(lat_ms) * 0.9)], 2),
-        "unit": "ms",
-    }))
+    out = {"metric": "caption decode latency (batch 1, max_length 20)",
+           "unit": "ms"}
+    for label, beams in (("greedy", 1), ("beam4", 4)):
+        caption_once(beams)  # compile
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            caption_once(beams)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = sorted(x * 1e3 for x in lat)
+        out[f"{label}_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 2)
+        out[f"{label}_p90_ms"] = round(lat_ms[int(len(lat_ms) * 0.9)], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
