@@ -169,6 +169,28 @@ def test_grad_accumulation_equivalence(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_logger_repoints_file_handler_across_result_dirs(tmp_path):
+    """Two train()-style get_logger calls with different result dirs in ONE
+    process must each produce their own {result_dir}/train.log (regression:
+    the handler cache used to pin the file to the first run's dir)."""
+    from klab_multimodalmodel_tpu.obs.logger import get_logger
+    import os
+    d1, d2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    log1 = get_logger(d1)
+    log1.info("first run")
+    log2 = get_logger(d2)
+    log2.info("second run")
+    assert os.path.exists(os.path.join(d1, "train.log"))
+    assert os.path.exists(os.path.join(d2, "train.log"))
+    with open(os.path.join(d2, "train.log")) as f:
+        assert "second run" in f.read()
+    # same dir again: handler retained, file NOT truncated
+    get_logger(d2).info("still second run")
+    with open(os.path.join(d2, "train.log")) as f:
+        content = f.read()
+    assert "second run" in content and "still second run" in content
+
+
 def test_full_train_loop_and_resume(tmp_path):
     """Two-epoch driver run: losses recorded, best checkpoint written,
     resume restores and continues."""
