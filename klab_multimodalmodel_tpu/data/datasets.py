@@ -58,6 +58,10 @@ class DatasetBase:
     """Indexable dataset of (image, src_text, tgt_text)."""
 
     image_size: int = 256
+    # True when a sample's source text never changes across epochs (caption
+    # prompts): lets the frozen-feature cache also cache the frozen language
+    # tower's output. Span corruption re-masks per epoch, so it sets False.
+    source_is_static: bool = True
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -98,6 +102,8 @@ class CocoCaptionDataset(DatasetBase):
 
 class RedCapsDataset(DatasetBase):
     """Self-supervised span-corruption pretraining on RedCaps."""
+
+    source_is_static = False  # dynamic per-epoch masking
 
     def __init__(self, data_dir: str, phase: str = "train",
                  image_size: int = 256, seed: int = 0):
@@ -148,6 +154,8 @@ class SyntheticCaptionDataset(DatasetBase):
         self.image_size = image_size
         self.seed = seed
         self.pretrain = pretrain
+        # pretrain mode re-corrupts per epoch -> source text is dynamic
+        self.source_is_static = not pretrain
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:

@@ -97,7 +97,10 @@ class DataLoader:
                              max_length=self.max_target_length)
         return Batch(images=images,
                      source_ids=src.input_ids, source_mask=src.attention_mask,
-                     target_ids=tgt.input_ids, target_mask=tgt.attention_mask)
+                     target_ids=tgt.input_ids, target_mask=tgt.attention_mask,
+                     # dataset-index of each row: keys the frozen-feature
+                     # cache; popped from the batch before device transfer
+                     index=np.asarray(idxs, np.int64))
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._epoch_indices()

@@ -111,6 +111,70 @@ class MultiModalModel(nn.Module):
         img_mask = jnp.ones(img.shape[:2], source_mask.dtype)
         return concat, jnp.concatenate([img_mask, source_mask], axis=1)
 
+    # -- frozen-feature cache path ------------------------------------------
+    def image_features(self, images: jax.Array) -> jax.Array:
+        """Frozen vision-tower forward, PRE-projection: the cacheable part.
+
+        The vision projection is trainable, so the cache stores the tower
+        output and the projection is re-applied every step.
+        """
+        return jax.lax.stop_gradient(
+            self.image_model(images, deterministic=True))
+
+    def language_features(self, source_ids: jax.Array,
+                          source_mask: Optional[jax.Array] = None
+                          ) -> jax.Array:
+        """Frozen language-tower forward, PRE-projection: cacheable when the
+        dataset's source text is static per sample (caption prompts; NOT
+        span corruption, which re-masks every epoch)."""
+        if self.config.reference_pad_quirks:
+            source_mask = None
+        return jax.lax.stop_gradient(
+            self.language_model(input_ids=source_ids,
+                                attention_mask=source_mask,
+                                deterministic=True))
+
+    def loss_from_image_features(self, image_features: jax.Array,
+                                 source_ids: jax.Array,
+                                 target_ids: jax.Array,
+                                 source_mask: Optional[jax.Array] = None,
+                                 target_mask: Optional[jax.Array] = None,
+                                 language_features: Optional[jax.Array] = None,
+                                 deterministic: bool = True) -> Seq2SeqOutput:
+        """Training forward from cached tower features — bit-identical to
+        ``__call__`` when ``image_features == image_features(images)`` (the
+        frozen tower runs deterministically, see ``encode_multimodal``).
+        ``language_features``, when given, replaces the frozen text-encoder
+        forward the same way."""
+        cfg = self.config
+        if cfg.reference_pad_quirks:
+            source_mask = None
+            target_mask = None
+        if language_features is None:
+            lang = self.language_model(input_ids=source_ids,
+                                       attention_mask=source_mask,
+                                       deterministic=True)
+            lang = jax.lax.stop_gradient(lang)
+        else:
+            lang = language_features.astype(self.dtype)
+        img = image_features.astype(self.dtype)
+        if self.needs_vision_proj:
+            img = self.vision_projection(img)
+        if self.needs_lang_proj:
+            lang = self.language_projection(lang)
+        concat = jnp.concatenate([img, lang], axis=1)
+        concat_mask = None
+        if source_mask is not None:
+            img_mask = jnp.ones(img.shape[:2], source_mask.dtype)
+            concat_mask = jnp.concatenate([img_mask, source_mask], axis=1)
+        label_weights = None
+        if target_mask is not None:
+            label_weights = target_mask.astype(jnp.float32)
+        return self.transformer(
+            inputs_embeds=concat, attention_mask=concat_mask,
+            labels=target_ids, label_weights=label_weights,
+            deterministic=deterministic)
+
     # -- training forward --------------------------------------------------
     def __call__(self, images: jax.Array, source_ids: jax.Array,
                  target_ids: jax.Array,

@@ -17,6 +17,7 @@ resume at all — SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -32,6 +33,7 @@ from ..obs.metrics import LossCounter
 from ..text.tokenizer import load_tokenizer
 from ..utils.cache import enable_compile_cache
 from ..utils.mesh import make_mesh, maybe_init_distributed
+from .feature_cache import FrozenFeatureCache, swin_feature_shape
 from .trainer import Trainer
 
 
@@ -113,6 +115,53 @@ def train(config: Config,
     prof = profiler.StepWindowTrace(
         config.result_dir, config.profile_steps if is_main else 0)
 
+    # Frozen-feature caches (cache_frozen_features): epoch 1 fills them as
+    # free aux outputs of the normal step; later epochs skip the frozen
+    # vision-tower forward entirely — and the frozen language tower too when
+    # the dataset's source text is static (caption prompts; span corruption
+    # re-masks per epoch and is never language-cached). Bit-identical losses
+    # (the towers are deterministic) — equivalence pinned by test_train.py.
+    train_cache = val_cache = None
+    if config.cache_frozen_features:
+        img_shape = swin_feature_shape(config)
+        lang_shape = (config.max_source_length,
+                      config.language_t5.d_model)
+        cache_dir = os.path.join(config.result_dir, "feature_cache")
+
+        def make_caches(tag, loader):
+            caches = {"img": FrozenFeatureCache(
+                os.path.join(cache_dir, f"{tag}.img.feat"),
+                len(loader.dataset), img_shape,
+                dtype=config.compute_dtype)}
+            if getattr(loader.dataset, "source_is_static", False):
+                caches["lang"] = FrozenFeatureCache(
+                    os.path.join(cache_dir, f"{tag}.lang.feat"),
+                    len(loader.dataset), lang_shape,
+                    dtype=config.compute_dtype)
+            return caches
+
+        train_cache = make_caches("train", train_loader)
+        val_cache = make_caches("val", val_loader)
+
+    def cache_lookup(caches, batch, index):
+        """Cached-feature batch if fully cached, else None."""
+        if not caches["img"].has(index):
+            return None
+        fb = {k: v for k, v in batch.items() if k != "images"}
+        fb["image_features"] = caches["img"].get(index)
+        if "lang" in caches:
+            if not caches["lang"].has(index):
+                return None
+            fb["language_features"] = caches["lang"].get(index)
+        return fb
+
+    def cache_fill(caches, index, feats):
+        img_feats, lang_feats = feats
+        caches["img"].put(index, np.asarray(jax.device_get(img_feats)))
+        if "lang" in caches:
+            caches["lang"].put(index,
+                               np.asarray(jax.device_get(lang_feats)))
+
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.perf_counter()
@@ -121,11 +170,26 @@ def train(config: Config,
         def run_update(merged, n_real_images):
             nonlocal state, dropout_rng, steps, images_seen
             prof.tick()
-            device_batch = trainer.device_put_batch(merged)
+            index = merged.pop("index", None)
             dropout_rng, step_rng = jax.random.split(dropout_rng)
-            with profiler.annotate("train_step"):
-                state, loss = trainer.train_step(state, device_batch,
-                                                 step_rng)
+            if train_cache is not None and index is not None:
+                fb = cache_lookup(train_cache, merged, index)
+                if fb is not None:
+                    device_batch = trainer.device_put_batch(fb)
+                    with profiler.annotate("train_step_cached"):
+                        state, loss = trainer.train_step(
+                            state, device_batch, step_rng)
+                else:
+                    device_batch = trainer.device_put_batch(merged)
+                    with profiler.annotate("train_step"):
+                        state, loss, feats = trainer.train_step_with_features(
+                            state, device_batch, step_rng)
+                    cache_fill(train_cache, index, feats)
+            else:
+                device_batch = trainer.device_put_batch(merged)
+                with profiler.annotate("train_step"):
+                    state, loss = trainer.train_step(state, device_batch,
+                                                     step_rng)
             loss_counter.add_loss("train", loss)
             steps += 1
             images_seen += n_real_images
@@ -170,9 +234,25 @@ def train(config: Config,
         micro_group = []
 
         for batch in val_loader:
-            device_batch = trainer.device_put_batch(batch)
-            loss = trainer.eval_step(state.params, device_batch)
+            index = batch.pop("index", None) if isinstance(batch, dict) \
+                else None
+            if val_cache is not None and index is not None:
+                fb = cache_lookup(val_cache, batch, index)
+                if fb is not None:
+                    device_batch = trainer.device_put_batch(fb)
+                    loss = trainer.eval_step(state.params, device_batch)
+                else:
+                    device_batch = trainer.device_put_batch(batch)
+                    loss, feats = trainer.eval_step_with_features(
+                        state.params, device_batch)
+                    cache_fill(val_cache, index, feats)
+            else:
+                device_batch = trainer.device_put_batch(batch)
+                loss = trainer.eval_step(state.params, device_batch)
             loss_counter.add_loss("val", loss)
+        if train_cache is not None:
+            for c in (*train_cache.values(), *val_cache.values()):
+                c.flush()
 
         train_loss, val_loss = loss_counter.count_and_get_loss()
         dt = time.perf_counter() - epoch_t0

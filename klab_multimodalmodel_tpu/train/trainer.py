@@ -123,6 +123,20 @@ class Trainer:
     # -- compiled steps ----------------------------------------------------
     def _loss_fn(self, params, batch, dropout_rng, deterministic: bool):
         cfg = self.config
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        if "image_features" in batch:
+            # Frozen-feature cache path: the tower forwards were precomputed
+            # (cache_frozen_features); bit-identical loss. language_features
+            # is present only for static-source datasets.
+            out = self.model.apply(
+                {"params": params}, batch["image_features"],
+                batch["source_ids"], batch["target_ids"],
+                source_mask=batch["source_mask"],
+                target_mask=batch["target_mask"],
+                language_features=batch.get("language_features"),
+                deterministic=deterministic, rngs=rngs,
+                method="loss_from_image_features")
+            return out.loss
         images = normalize_images(
             batch["images"],
             dtype=get_policy(cfg.compute_dtype).compute_dtype)
@@ -130,21 +144,65 @@ class Trainer:
             {"params": params}, images, batch["source_ids"],
             batch["target_ids"], source_mask=batch["source_mask"],
             target_mask=batch["target_mask"], deterministic=deterministic,
-            rngs=None if deterministic else {"dropout": dropout_rng})
+            rngs=rngs)
         return out.loss
 
-    def make_train_step(self):
+    def make_extract_features_step(self):
+        """jit (params, images_uint8) -> frozen vision-tower features
+        (B, tokens, vis_dim) in the compute dtype — the cacheable tensor."""
+        cfg = self.config
+
+        def extract(params, images):
+            x = normalize_images(
+                images, dtype=get_policy(cfg.compute_dtype).compute_dtype)
+            return self.model.apply({"params": params}, x,
+                                    method="image_features")
+
+        batch_sharding = NamedSharding(self.mesh, P(("data", "fsdp")))
+        return jax.jit(extract,
+                       in_shardings=(self.state_shardings.params,
+                                     batch_sharding),
+                       out_shardings=batch_sharding)
+
+    def _features_then_loss(self, params, batch, dropout_rng,
+                            deterministic: bool):
+        """(loss, (img_feats, lang_feats)): frozen tower forwards surfaced
+        as aux outputs so the train loop can fill the frozen-feature caches
+        for free."""
+        cfg = self.config
+        images = normalize_images(
+            batch["images"],
+            dtype=get_policy(cfg.compute_dtype).compute_dtype)
+        img_feats = self.model.apply({"params": params}, images,
+                                     method="image_features")
+        lang_feats = self.model.apply({"params": params},
+                                      batch["source_ids"],
+                                      batch["source_mask"],
+                                      method="language_features")
+        fbatch = {k: v for k, v in batch.items() if k != "images"}
+        fbatch["image_features"] = img_feats
+        fbatch["language_features"] = lang_feats
+        loss = self._loss_fn(params, fbatch, dropout_rng, deterministic)
+        return loss, (img_feats, lang_feats)
+
+    def make_train_step(self, with_features: bool = False):
         cfg = self.config
         accum = max(cfg.accumulation_steps, 1)
 
         def train_step(state: TrainState, batch: dict, dropout_rng):
             def microbatch_grads(rng, mb):
-                loss, grads = jax.value_and_grad(self._loss_fn)(
-                    state.params, mb, rng, False)
-                return loss, grads
+                if with_features:
+                    (loss, feats), grads = jax.value_and_grad(
+                        self._features_then_loss, has_aux=True)(
+                            state.params, mb, rng, False)
+                else:
+                    loss, grads = jax.value_and_grad(self._loss_fn)(
+                        state.params, mb, rng, False)
+                    feats = None
+                return loss, grads, feats
 
             if accum == 1:
-                loss, grads = microbatch_grads(dropout_rng, batch)
+                loss, grads, feats = microbatch_grads(dropout_rng, batch)
             else:
                 # (A*b, ...) -> (A, b, ...) and scan-accumulate.
                 def split(x):
@@ -155,43 +213,54 @@ class Trainer:
 
                 def body(carry, xs):
                     rng, mb = xs
-                    loss, grads = microbatch_grads(rng, mb)
+                    loss, grads, feats = microbatch_grads(rng, mb)
                     acc_loss, acc_grads = carry
                     return (acc_loss + loss,
-                            jax.tree.map(jnp.add, acc_grads, grads)), None
+                            jax.tree.map(jnp.add, acc_grads, grads)), feats
 
                 zero = (jnp.zeros(()),
                         jax.tree.map(jnp.zeros_like, state.params))
-                (loss_sum, grad_sum), _ = jax.lax.scan(
+                (loss_sum, grad_sum), feats = jax.lax.scan(
                     body, zero, (rngs, mbs))
                 loss = loss_sum / accum
                 grads = jax.tree.map(lambda g: g / accum, grad_sum)
+                if with_features:  # each: (A, b, T, D) -> (A*b, T, D)
+                    feats = jax.tree.map(
+                        lambda f: f.reshape((-1,) + f.shape[2:]), feats)
 
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(step=state.step + 1, params=new_params,
                                    opt_state=new_opt)
+            if with_features:
+                return new_state, loss, feats
             return new_state, loss
 
         batch_sharding = NamedSharding(self.mesh, P(("data", "fsdp")))
+        scalar = NamedSharding(self.mesh, P())
+        out_shardings = ((self.state_shardings, scalar, batch_sharding)
+                         if with_features
+                         else (self.state_shardings, scalar))
         return jax.jit(
             train_step,
-            in_shardings=(self.state_shardings, batch_sharding,
-                          NamedSharding(self.mesh, P())),
-            out_shardings=(self.state_shardings,
-                           NamedSharding(self.mesh, P())),
+            in_shardings=(self.state_shardings, batch_sharding, scalar),
+            out_shardings=out_shardings,
             donate_argnums=(0,))
 
-    def make_eval_step(self):
+    def make_eval_step(self, with_features: bool = False):
         def eval_step(params, batch):
+            if with_features:
+                return self._features_then_loss(params, batch, None, True)
             return self._loss_fn(params, batch, None, True)
 
         batch_sharding = NamedSharding(self.mesh, P(("data", "fsdp")))
+        scalar = NamedSharding(self.mesh, P())
         return jax.jit(
             eval_step,
             in_shardings=(self.state_shardings.params, batch_sharding),
-            out_shardings=NamedSharding(self.mesh, P()))
+            out_shardings=(scalar, batch_sharding) if with_features
+            else scalar)
 
     @property
     def train_step(self):
@@ -204,6 +273,18 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self.make_eval_step()
         return self._eval_step
+
+    @property
+    def train_step_with_features(self):
+        if getattr(self, "_train_step_f", None) is None:
+            self._train_step_f = self.make_train_step(with_features=True)
+        return self._train_step_f
+
+    @property
+    def eval_step_with_features(self):
+        if getattr(self, "_eval_step_f", None) is None:
+            self._eval_step_f = self.make_eval_step(with_features=True)
+        return self._eval_step_f
 
     # -- host->device batch transfer --------------------------------------
     def device_put_batch(self, batch: dict) -> dict:

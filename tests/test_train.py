@@ -169,6 +169,82 @@ def test_grad_accumulation_equivalence(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_frozen_feature_cache_unit(tmp_path):
+    """Cache round trip + restart persistence + geometry invalidation."""
+    from klab_multimodalmodel_tpu.train import FrozenFeatureCache
+    path = str(tmp_path / "c" / "train.feat")
+    cache = FrozenFeatureCache(path, 8, (4, 6), dtype="float32")
+    assert not cache.has(np.array([0, 3]))
+    feats = np.arange(2 * 4 * 6, dtype=np.float32).reshape(2, 4, 6)
+    cache.put(np.array([0, 3]), feats)
+    assert cache.has(np.array([0, 3])) and not cache.has(np.array([0, 1]))
+    np.testing.assert_array_equal(cache.get(np.array([3, 0])), feats[::-1])
+    cache.flush()
+    # restart: data + mask survive
+    cache2 = FrozenFeatureCache(path, 8, (4, 6), dtype="float32")
+    assert cache2.has(np.array([0, 3]))
+    np.testing.assert_array_equal(cache2.get(np.array([0, 3])), feats)
+    # geometry change invalidates
+    cache3 = FrozenFeatureCache(path, 8, (4, 8), dtype="float32")
+    assert not cache3.has(np.array([0]))
+
+
+def test_cached_features_training_equivalence(tmp_path):
+    """cache_frozen_features must not change training: same seed, same data
+    -> same per-epoch losses as the uncached run (epoch 1 fills the cache,
+    epochs 2-3 train from it)."""
+    losses = {}
+    for cached in (False, True):
+        cfg = micro_config(tmp_path / ("c" if cached else "u"),
+                           num_epochs=3, cache_frozen_features=cached)
+        loader = _make_loader(cfg, n=16)
+        val_loader = _make_loader(cfg, n=8)
+        out = train(cfg, train_loader=loader, val_loader=val_loader,
+                    resume=False)
+        losses[cached] = (out["losses"]["train"], out["losses"]["val"])
+        if cached:
+            import glob
+            assert glob.glob(str(tmp_path / "c" / "results" /
+                                 "feature_cache" / "train.img.feat*"))
+            assert glob.glob(str(tmp_path / "c" / "results" /
+                                 "feature_cache" / "train.lang.feat*"))
+    np.testing.assert_allclose(losses[True][0], losses[False][0],
+                               rtol=2e-6)
+    np.testing.assert_allclose(losses[True][1], losses[False][1],
+                               rtol=2e-6)
+
+
+@pytest.mark.slow
+def test_cached_features_dynamic_source_equivalence(tmp_path):
+    """Span-corruption pretraining re-masks per epoch: the language tower
+    must NOT be cached (no lang cache file), the image cache still applies,
+    and losses still match the uncached run."""
+    losses = {}
+    for cached in (False, True):
+        cfg = micro_config(tmp_path / ("c" if cached else "u"),
+                           num_epochs=2, cache_frozen_features=cached)
+        ds = SyntheticCaptionDataset(n=16, image_size=cfg.swin.image_size,
+                                     pretrain=True)
+        loader = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                            max_source_length=cfg.max_source_length,
+                            max_target_length=cfg.max_target_length, seed=0)
+        val_ds = SyntheticCaptionDataset(n=8, image_size=cfg.swin.image_size,
+                                         pretrain=True)
+        val_loader = DataLoader(val_ds, ByteTokenizer(), global_batch_size=8,
+                                max_source_length=cfg.max_source_length,
+                                max_target_length=cfg.max_target_length,
+                                seed=0)
+        out = train(cfg, train_loader=loader, val_loader=val_loader,
+                    resume=False)
+        losses[cached] = out["losses"]["train"]
+        if cached:
+            import glob
+            cache_dir = tmp_path / "c" / "results" / "feature_cache"
+            assert glob.glob(str(cache_dir / "train.img.feat*"))
+            assert not glob.glob(str(cache_dir / "train.lang.feat*"))
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-6)
+
+
 def test_logger_repoints_file_handler_across_result_dirs(tmp_path):
     """Two train()-style get_logger calls with different result dirs in ONE
     process must each produce their own {result_dir}/train.log (regression:
