@@ -162,6 +162,11 @@ class Config:
     # (T5's original optimizer; factored second moments cut optimizer HBM by
     # ~6 GB for t5-large, enabling the full flagship on one 16 GB chip).
     optimizer: str = "adam"
+    # dtype for Adam's first moment (optax mu_dtype): 'bfloat16' halves the
+    # mu read+write HBM traffic of the update step (the second moment stays
+    # fp32 — it feeds a sqrt and needs the dynamic range). Slightly changes
+    # update numerics, so fp32 default; measured impact in BASELINE.md.
+    adam_mu_dtype: str = "float32"
     # Store the FROZEN towers' params in bf16 (they only feed bf16 compute
     # and receive no updates — numerically identical to the compute path).
     frozen_param_dtype: str = "float32"
@@ -353,6 +358,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", type=str, default=d.remat,
                         choices=["", "full", "dots_saveable"])
+    parser.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
+    parser.add_argument("--optimizer", type=str, default=d.optimizer,
+                        choices=["adam", "adafactor"])
+    parser.add_argument("--adam_mu_dtype", type=str, default=d.adam_mu_dtype,
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--frozen_param_dtype", type=str,
+                        default=d.frozen_param_dtype,
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--use_pallas_attention", action="store_true")
     parser.add_argument("--swin_softmax_dtype", type=str,
                         default=d.swin_softmax_dtype,

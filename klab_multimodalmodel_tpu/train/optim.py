@@ -81,7 +81,10 @@ def make_optimizer(config: Config, params: Any,
                    num_epochs: int) -> optax.GradientTransformation:
     schedule = make_lr_schedule(config, max(num_epochs or 1, 1))
     if config.optimizer == "adam":
-        tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+        mu_dtype = (jnp.bfloat16 if config.adam_mu_dtype == "bfloat16"
+                    else None)
+        tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+                        mu_dtype=mu_dtype)
     elif config.optimizer == "adafactor":
         # T5's original optimizer; factored second moments keep optimizer
         # state ~O(rows+cols) instead of O(params).
