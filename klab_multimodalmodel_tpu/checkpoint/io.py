@@ -21,6 +21,34 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def load_pretrained_params(path: str, params: Any) -> Any:
+    """Initialize a fresh param tree from a converted pretrained checkpoint.
+
+    TPU-native equivalent of the reference's startup ``from_pretrained``
+    pulls (``/root/reference/models/model.py:14-17``): ``path`` is the
+    ``--output`` dir of ``tools/convert_hf_checkpoint.py`` (or its inner
+    ``checkpoints/pretrained`` dir). Top-level subtrees present in the
+    checkpoint (towers, projections) replace the fresh-init ones — restored
+    directly into ``params``' shardings and dtypes; subtrees the converter
+    did not emit keep their fresh initialization.
+    """
+    p = os.path.abspath(path)
+    cand = os.path.join(p, "checkpoints", "pretrained")
+    if os.path.isdir(cand):
+        p = cand
+    ckptr = ocp.StandardCheckpointer()
+    saved = ckptr.metadata(p).item_metadata.tree
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, params)
+    target = {k: v for k, v in abstract.items() if k in saved}
+    missing = [k for k in saved if k not in abstract]
+    if missing:
+        raise ValueError(
+            f"pretrained checkpoint {p} contains subtrees {missing} the "
+            "model does not have — geometry/config mismatch")
+    restored = ckptr.restore(p, target)
+    return {**params, **restored}
+
+
 class CheckpointManager:
     def __init__(self, result_dir: str):
         self.base = os.path.abspath(os.path.join(result_dir, "checkpoints"))

@@ -205,6 +205,12 @@ class Config:
     # Tokenizer: path to a HuggingFace tokenizers JSON file (unigram/BPE) or
     # '' to use the built-in whitespace fallback (tests / smoke runs).
     tokenizer_path: str = ""
+    # Initialize params from a converted pretrained checkpoint (the --output
+    # dir of tools/convert_hf_checkpoint.py) when starting a fresh run — the
+    # equivalent of the reference's startup from_pretrained pulls
+    # (models/model.py:14-17). Ignored when resuming from a train-state
+    # checkpoint in result_dir.
+    init_checkpoint: str = ""
     # Debug config (SURVEY.md §5 race-detection/sanitizer row): NaN checks
     # and a guard against silent host<->device transfers inside the step.
     debug_nans: bool = False
@@ -376,6 +382,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--cache_frozen_features", action="store_true")
     parser.add_argument("--tokenizer_path", type=str, default=d.tokenizer_path)
+    parser.add_argument("--init_checkpoint", type=str,
+                        default=d.init_checkpoint)
     parser.add_argument("--num_workers", type=int, default=d.num_workers)
     parser.add_argument("--accumulation_tail", type=str,
                         default=d.accumulation_tail,

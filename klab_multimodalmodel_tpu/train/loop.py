@@ -103,6 +103,13 @@ def train(config: Config,
         steps = int(meta.get("steps", int(state.step)))
         min_val_loss = float(meta.get("min_val_loss", 100))
         logger.info(f"resumed from {name} (epoch {start_epoch - 1})")
+    elif config.init_checkpoint:
+        from ..checkpoint.io import load_pretrained_params
+
+        state = state.replace(params=load_pretrained_params(
+            config.init_checkpoint, state.params))
+        logger.info(
+            f"initialized params from pretrained {config.init_checkpoint}")
 
     loss_counter = LossCounter(opt_steps_per_epoch, max(len(val_loader), 1))
     # rbg keys use the TPU hardware generator — threefry dropout bits cost

@@ -404,3 +404,60 @@ def test_accumulation_tail_pad_rejected_with_pad_quirks(tmp_path):
     val_loader = _make_loader(cfg, n=8)
     with pytest.raises(ValueError, match="reference_pad_quirks"):
         train(cfg, train_loader=loader, val_loader=val_loader, resume=False)
+
+
+def test_init_checkpoint_pretrained_params(tmp_path):
+    """--init_checkpoint: a converted pretrained checkpoint (the converter's
+    --output layout) initializes matching subtrees of a fresh run; subtrees
+    absent from the checkpoint keep their fresh init; a subtree the model
+    doesn't have raises. Covers the reference's startup from_pretrained
+    pulls (models/model.py:14-17)."""
+    import orbax.checkpoint as ocp
+
+    from klab_multimodalmodel_tpu.checkpoint.io import load_pretrained_params
+    from klab_multimodalmodel_tpu.utils import make_mesh
+
+    cfg = micro_config(tmp_path)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+
+    # Build a "pretrained" checkpoint holding perturbed transformer +
+    # image_model subtrees only (the converter emits top-level subtrees).
+    host = jax.device_get(state.params)
+    pre = {
+        "transformer": jax.tree.map(lambda x: x + 1.0, host["transformer"]),
+        "image_model": jax.tree.map(lambda x: x * 2.0 + 3.0,
+                                    host["image_model"]),
+    }
+    out_dir = tmp_path / "converted"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(out_dir / "checkpoints" / "pretrained"), pre)
+    ckptr.wait_until_finished()
+
+    merged = load_pretrained_params(str(out_dir), state.params)
+    got = jax.device_get(merged)
+    for a, b in zip(jax.tree.leaves(got["transformer"]),
+                    jax.tree.leaves(pre["transformer"])):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(got["language_model"]),
+                    jax.tree.leaves(host["language_model"])):
+        np.testing.assert_allclose(a, b)  # untouched fresh init
+
+    # Shardings preserved on restored leaves.
+    lt = jax.tree.leaves(merged["transformer"])[0]
+    assert lt.sharding is not None
+
+    # End-to-end: the driver consumes it via config.init_checkpoint.
+    cfg2 = micro_config(tmp_path, init_checkpoint=str(out_dir),
+                        result_dir=str(tmp_path / "results_init"))
+    loader = _make_loader(cfg2, n=8)
+    out = train(cfg2, train_loader=loader, val_loader=loader, resume=False)
+    assert np.isfinite(out["losses"]["train"][0])
+
+    # Unknown subtree -> loud error.
+    bad = {"not_a_tower": {"w": np.zeros((2,), np.float32)}}
+    ckptr.save(str(tmp_path / "bad" / "checkpoints" / "pretrained"), bad)
+    ckptr.wait_until_finished()
+    with pytest.raises(ValueError, match="not_a_tower"):
+        load_pretrained_params(str(tmp_path / "bad"), state.params)

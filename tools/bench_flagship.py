@@ -67,6 +67,29 @@ def main() -> None:
         "params": n_params,
     }))
 
+    # Steady-state path of the reference's 50-epoch frozen-tower recipe:
+    # frozen swin + t5-large text-encoder forwards come from the
+    # cache_frozen_features cache; the step is t5-large grad + adafactor.
+    fstate, _, (img_feats, lang_feats) = trainer.train_step_with_features(
+        state, db, k)
+    state = fstate
+    cached = {kk: v for kk, v in db.items() if kk != "images"}
+    cached["image_features"] = img_feats
+    cached["language_features"] = lang_feats
+    state, loss = trainer.train_step(state, cached, k)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = trainer.train_step(state, cached, k)
+    float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "flagship train throughput, cached frozen features "
+                  f"(steady state, batch {B}/chip)",
+        "value": round(B * n_steps / dt, 2),
+        "unit": "images/sec/chip",
+    }))
+
 
 if __name__ == "__main__":
     main()
