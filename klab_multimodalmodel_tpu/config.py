@@ -250,6 +250,17 @@ class Config:
     def __post_init__(self) -> None:
         if self.lr_scheduler not in ("", "cosine", "linear", "exponential", "step"):
             raise ValueError(f"unknown lr_scheduler {self.lr_scheduler!r}")
+        # dtype-string knobs: consumers test == 'bfloat16', so a typo (e.g.
+        # 'bf16') would otherwise silently fall back to fp32 when Config is
+        # constructed programmatically (bench/tools bypass argparse choices).
+        for field_name in ("compute_dtype", "param_dtype", "adam_mu_dtype",
+                           "frozen_param_dtype", "swin_softmax_dtype"):
+            v = getattr(self, field_name)
+            if v not in ("float32", "bfloat16"):
+                raise ValueError(
+                    f"{field_name}={v!r}: expected 'float32' or 'bfloat16'")
+        if self.optimizer not in ("adam", "adafactor"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
         if self.accumulation_tail not in ("pad", "drop", "error"):
             raise ValueError(
                 f"unknown accumulation_tail {self.accumulation_tail!r}")

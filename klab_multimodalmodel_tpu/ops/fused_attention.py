@@ -472,20 +472,27 @@ def t5_fused_attention_packed(q, k, v, packed_bias, kmask=None,
 # ---------------------------------------------------------------------------
 
 
-def _swin_reference(q, k, v, scale, bias_h, wmask):
-    """XLA reference of the cosine attention (backward pass + CPU tests)."""
+def _swin_reference(q, k, v, scale, bias_h, wmask, sm_dtype=jnp.float32):
+    """XLA reference of the cosine attention (backward pass + CPU tests).
+
+    ``sm_dtype`` mirrors the kernel's softmax-chain dtype so the recompute
+    backward differentiates the SAME function the Pallas forward computed —
+    with ``swin_softmax_dtype=bfloat16`` and a trainable tower, an fp32-only
+    reference would yield systematically mismatched q/k/v/scale/CPB grads.
+    """
     q32 = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
     qn = q32 * jax.lax.rsqrt(jnp.sum(q32 * q32, -1, keepdims=True) + 1e-24)
     kn = k32 * jax.lax.rsqrt(jnp.sum(k32 * k32, -1, keepdims=True) + 1e-24)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qn, kn)
-    s = jnp.exp(jnp.minimum(scale.astype(jnp.float32), np.log(100.0)))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qn, kn).astype(sm_dtype)
+    s = jnp.exp(jnp.minimum(scale.astype(jnp.float32),
+                            np.log(100.0))).astype(sm_dtype)
     logits = logits * s[None, :, None, None]
-    logits = logits + bias_h.astype(jnp.float32)[None]
+    logits = logits + bias_h.astype(sm_dtype)[None]
     if wmask is not None:
         B = q.shape[0]
         nW = wmask.shape[0]
-        wm = jnp.tile(wmask.astype(jnp.float32), (B // nW, 1, 1))
+        wm = jnp.tile(wmask.astype(sm_dtype), (B // nW, 1, 1))
         logits = logits + wm[:, None]
     p = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
@@ -516,14 +523,21 @@ def _swin_attention_fwd(G, sm_name, q, k, v, scale, bias_h, wmask,
 
 def _swin_attention_bwd(G, sm_name, res, do):
     # XLA recompute backward (exercised in --image_model_train mode only);
-    # gradients flow to q/k/v, the logit scale, and the CPB bias.
+    # gradients flow to q/k/v, the logit scale, and the CPB bias. The
+    # recompute honors sm_name so it differentiates the function the kernel
+    # actually computed (fp32 or bf16 softmax chain).
+    sm_dtype = jnp.bfloat16 if sm_name == "bfloat16" else jnp.float32
     q, k, v, scale, bias_h, wmask = res
     if wmask is None:
         _, vjp = jax.vjp(
-            lambda q, k, v, s, b: _swin_reference(q, k, v, s, b, None),
+            lambda q, k, v, s, b: _swin_reference(q, k, v, s, b, None,
+                                                  sm_dtype),
             q, k, v, scale, bias_h)
         return (*vjp(do), None, None)
-    _, vjp = jax.vjp(_swin_reference, q, k, v, scale, bias_h, wmask)
+    _, vjp = jax.vjp(
+        lambda q, k, v, s, b, w: _swin_reference(q, k, v, s, b, w,
+                                                 sm_dtype),
+        q, k, v, scale, bias_h, wmask)
     dq, dk, dv, dscale, dbias = vjp(do)[:5]
     return (dq, dk, dv, dscale, dbias, jnp.zeros_like(wmask), None)
 

@@ -57,10 +57,15 @@ class FrozenFeatureCache:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
         mode = "w+" if fresh or not os.path.exists(path) else "r+"
-        self._data = np.memmap(path, dtype=self._np_dtype, mode=mode,
-                               shape=(num_samples,) + self.feature_shape)
         mask_path = path + ".mask.npy"
         self._mask_path = mask_path
+        if fresh and os.path.exists(mask_path):
+            # The old mask must not outlive its data: a crash between this
+            # recreate (which zeroes the memmap) and the first flush() would
+            # otherwise let a later run read all-zero features as "filled".
+            os.remove(mask_path)
+        self._data = np.memmap(path, dtype=self._np_dtype, mode=mode,
+                               shape=(num_samples,) + self.feature_shape)
         if not fresh and os.path.exists(mask_path):
             self._filled = np.load(mask_path)
         else:
@@ -90,5 +95,4 @@ class FrozenFeatureCache:
 def swin_feature_shape(config) -> tuple[int, int]:
     """(tokens, num_features) of the vision tower output for ``config``."""
     s = config.swin
-    final_res = s.image_size // s.patch_size // (2 ** (len(s.depths) - 1))
-    return (final_res * final_res, s.num_features)
+    return (s.num_patches_out, s.num_features)

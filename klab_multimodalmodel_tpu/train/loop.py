@@ -169,6 +169,19 @@ def train(config: Config,
             caches["lang"].put(index,
                                np.asarray(jax.device_get(lang_feats)))
 
+    # Fill writebacks are deferred by one step: jax dispatch is async, so
+    # draining the PREVIOUS step's features after dispatching the next step
+    # overlaps the blocking device_get + memmap write with device compute
+    # (a synchronous fill would idle the chip every epoch-1 step).
+    pending_fill: list = []
+
+    def defer_fill(caches, index, feats):
+        pending_fill.append((caches, index, feats))
+
+    def drain_fills():
+        while pending_fill:
+            cache_fill(*pending_fill.pop(0))
+
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
         epoch_t0 = time.perf_counter()
@@ -186,12 +199,14 @@ def train(config: Config,
                     with profiler.annotate("train_step_cached"):
                         state, loss = trainer.train_step(
                             state, device_batch, step_rng)
+                    drain_fills()
                 else:
                     device_batch = trainer.device_put_batch(merged)
                     with profiler.annotate("train_step"):
                         state, loss, feats = trainer.train_step_with_features(
                             state, device_batch, step_rng)
-                    cache_fill(train_cache, index, feats)
+                    drain_fills()  # previous step's feats, device now busy
+                    defer_fill(train_cache, index, feats)
             else:
                 device_batch = trainer.device_put_batch(merged)
                 with profiler.annotate("train_step"):
@@ -248,15 +263,18 @@ def train(config: Config,
                 if fb is not None:
                     device_batch = trainer.device_put_batch(fb)
                     loss = trainer.eval_step(state.params, device_batch)
+                    drain_fills()
                 else:
                     device_batch = trainer.device_put_batch(batch)
                     loss, feats = trainer.eval_step_with_features(
                         state.params, device_batch)
-                    cache_fill(val_cache, index, feats)
+                    drain_fills()
+                    defer_fill(val_cache, index, feats)
             else:
                 device_batch = trainer.device_put_batch(batch)
                 loss = trainer.eval_step(state.params, device_batch)
             loss_counter.add_loss("val", loss)
+        drain_fills()
         if train_cache is not None:
             for c in (*train_cache.values(), *val_cache.values()):
                 c.flush()

@@ -147,23 +147,6 @@ class Trainer:
             rngs=rngs)
         return out.loss
 
-    def make_extract_features_step(self):
-        """jit (params, images_uint8) -> frozen vision-tower features
-        (B, tokens, vis_dim) in the compute dtype — the cacheable tensor."""
-        cfg = self.config
-
-        def extract(params, images):
-            x = normalize_images(
-                images, dtype=get_policy(cfg.compute_dtype).compute_dtype)
-            return self.model.apply({"params": params}, x,
-                                    method="image_features")
-
-        batch_sharding = NamedSharding(self.mesh, P(("data", "fsdp")))
-        return jax.jit(extract,
-                       in_shardings=(self.state_shardings.params,
-                                     batch_sharding),
-                       out_shardings=batch_sharding)
-
     def _features_then_loss(self, params, batch, dropout_rng,
                             deterministic: bool):
         """(loss, (img_feats, lang_feats)): frozen tower forwards surfaced

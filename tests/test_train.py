@@ -187,6 +187,12 @@ def test_frozen_feature_cache_unit(tmp_path):
     # geometry change invalidates
     cache3 = FrozenFeatureCache(path, 8, (4, 8), dtype="float32")
     assert not cache3.has(np.array([0]))
+    # ...and the invalidation removes the OLD fill mask immediately: if the
+    # run died here (no flush after the recreate), a restart with the new
+    # geometry must not see the pre-invalidation mask over zeroed data.
+    del cache3  # simulate crash before flush
+    cache4 = FrozenFeatureCache(path, 8, (4, 8), dtype="float32")
+    assert not cache4.has(np.array([0, 3]))
 
 
 def test_cached_features_training_equivalence(tmp_path):

@@ -56,8 +56,8 @@ def run(batch, mu_dtype):
     trainer = Trainer(cfg, mesh, num_epochs=1)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
-    vis_tokens = (cfg.swin.image_size // cfg.swin.patch_size // 8) ** 2
-    vis_dim = cfg.swin.embed_dim * 8
+    vis_tokens = cfg.swin.num_patches_out
+    vis_dim = cfg.swin.num_features
     batch_np = {
         "image_features": rng.standard_normal(
             (batch, vis_tokens, vis_dim)).astype(np.float32),
