@@ -237,6 +237,9 @@ class Config:
     # the live profiler endpoint for TensorBoard's profile plugin.
     profile_steps: int = 0
     profile_server_port: int = 0  # 0 = off
+    # Optional TensorBoard scalars (train/val loss, LR, img/s) under
+    # {result_dir}/tb — beyond-reference observability (SURVEY.md §5).
+    tensorboard: bool = False
     # Data pipeline
     num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
     prefetch_batches: int = 2
@@ -399,6 +402,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--accumulation_tail", type=str,
                         default=d.accumulation_tail,
                         choices=["pad", "drop", "error"])
+    parser.add_argument("--tensorboard", action="store_true")
     parser.add_argument("--profile_steps", type=int, default=d.profile_steps)
     parser.add_argument("--profile_server_port", type=int,
                         default=d.profile_server_port)

@@ -1,0 +1,32 @@
+"""Optional TensorBoard scalar logging.
+
+The reference's observability is a text log + a matplotlib loss curve
+(``/root/reference/modules/losses.py:19-31``); SURVEY.md §5 calls for an
+optional TensorBoard sink on top. Uses ``torch.utils.tensorboard`` (torch
+is already a host-side dependency for the HF golden tests / converters);
+imports lazily so training never requires it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class ScalarWriter:
+    """No-op unless enabled; rank-0 only (mirror of the file logger)."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self._w = None
+        if log_dir:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir=log_dir)
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), int(step))
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.flush()
+            self._w.close()

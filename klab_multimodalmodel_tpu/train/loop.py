@@ -117,6 +117,12 @@ def train(config: Config,
     dropout_rng = jax.random.key(config.seed + 1,
                                  impl=config.dropout_rng_impl)
 
+    from ..obs.tb import ScalarWriter
+    from .optim import make_lr_schedule
+    tb = ScalarWriter(os.path.join(config.result_dir, "tb")
+                      if (config.tensorboard and is_main) else None)
+    lr_schedule = make_lr_schedule(config, max(num_epochs or 1, 1))
+
     if config.profile_server_port and is_main:
         profiler.start_server(config.profile_server_port)
     prof = profiler.StepWindowTrace(
@@ -282,6 +288,10 @@ def train(config: Config,
         train_loss, val_loss = loss_counter.count_and_get_loss()
         dt = time.perf_counter() - epoch_t0
         ips = images_seen / dt if dt > 0 else 0.0
+        tb.scalar("loss/train", train_loss, epoch)
+        tb.scalar("loss/val", val_loss, epoch)
+        tb.scalar("throughput/img_per_sec", ips, epoch)
+        tb.scalar("lr", float(lr_schedule(steps)), epoch)
         if is_main:
             logger.info(
                 f"[Epoch ({epoch}/{num_epochs})] Train loss : {train_loss}, "
@@ -320,6 +330,7 @@ def train(config: Config,
                         logger.info(f"Model step_{steps} saved")
 
     prof.close()
+    tb.close()
     if is_main:
         loss_counter.plot_loss(config.result_dir)
     return {"state": state, "losses": loss_counter.losses,

@@ -467,3 +467,20 @@ def test_init_checkpoint_pretrained_params(tmp_path):
     ckptr.wait_until_finished()
     with pytest.raises(ValueError, match="not_a_tower"):
         load_pretrained_params(str(tmp_path / "bad"), state.params)
+
+
+def test_tensorboard_scalars_written(tmp_path):
+    """--tensorboard writes event files with per-epoch scalars (SURVEY §5
+    optional-TensorBoard row); off by default (no tb dir)."""
+    import glob
+    import os
+
+    cfg = micro_config(tmp_path, tensorboard=True)
+    loader = _make_loader(cfg, n=8)
+    train(cfg, train_loader=loader, val_loader=loader, resume=False)
+    events = glob.glob(os.path.join(cfg.result_dir, "tb", "events.*"))
+    assert events, "no tensorboard event files written"
+
+    cfg2 = micro_config(tmp_path, result_dir=str(tmp_path / "no_tb"))
+    train(cfg2, train_loader=loader, val_loader=loader, resume=False)
+    assert not os.path.isdir(os.path.join(cfg2.result_dir, "tb"))

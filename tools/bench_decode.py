@@ -31,10 +31,20 @@ def main() -> None:
     from klab_multimodalmodel_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    # Decode levers (measured in BASELINE.md):
+    #   KLAB_DECODE_UNROLL=0 unrolls the layer scan (fewer, larger kernels
+    #     per decode step at higher compile cost);
+    #   KLAB_DECODE_BF16=1 casts params to bf16 (halves per-step weight
+    #     streaming — inference-only, frozen-tower-safe);
+    #   KLAB_DECODE_FUSED=1 runs encode+decode as ONE jit program (one
+    #     host->device dispatch per caption instead of two).
+    unroll = int(os.environ.get("KLAB_DECODE_UNROLL", "1"))
+    bf16_params = os.environ.get("KLAB_DECODE_BF16", "0") == "1"
+    fused = os.environ.get("KLAB_DECODE_FUSED", "0") == "1"
     cfg = Config(language_model_name="t5-base",
                  transformer_model_name="t5-base",
                  max_source_length=64, compute_dtype="bfloat16",
-                 scan_unroll=1)
+                 scan_unroll=unroll)
     model = MultiModalModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
@@ -44,6 +54,11 @@ def main() -> None:
         jax.random.PRNGKey(0), normalize_images(img, dtype=jnp.bfloat16),
         src, jnp.zeros((1, 4), jnp.int32), source_mask=mask)["params"]
 
+    if bf16_params:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+
     t5 = model.transformer_module()
 
     @jax.jit
@@ -52,7 +67,23 @@ def main() -> None:
                            normalize_images(img, dtype=jnp.bfloat16), src,
                            mask, method=model.encode_for_generation)
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def caption_fused(params, img, src, mask, num_beams):
+        enc, enc_mask = model.apply(
+            {"params": params}, normalize_images(img, dtype=jnp.bfloat16),
+            src, mask, method=model.encode_for_generation)
+        if num_beams == 1:
+            return greedy_decode(t5, params["transformer"], enc, enc_mask,
+                                 cfg.generate_max_length)
+        return beam_search_decode(t5, params["transformer"], enc, enc_mask,
+                                  cfg.generate_max_length, num_beams, 1.0)
+
     def caption_once(num_beams: int):
+        if fused:
+            return np.asarray(caption_fused(params, img, src, mask,
+                                            num_beams))
         enc, enc_mask = encode(params, img, src, mask)
         if num_beams == 1:
             ids = greedy_decode(t5, params["transformer"], enc, enc_mask,
