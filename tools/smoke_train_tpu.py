@@ -20,6 +20,7 @@ cfg = Config(language_model_name="t5-small", transformer_model_name="t5-small",
              max_source_length=48, max_target_length=24, batch_size=16,
              lr=3e-4, lr_scheduler="", num_epochs=4,
              compute_dtype="bfloat16", scan_unroll=1,
+             cache_frozen_features=os.environ.get("SMOKE_CACHE", "1") == "1",
              result_dir=os.environ.get("SMOKE_DIR", "/tmp/smoke_results"), data_dir="synthetic")
 tok = ByteTokenizer()
 train_ds = SyntheticCaptionDataset(n=128, image_size=256)
