@@ -25,7 +25,7 @@ def main() -> None:
     from klab_multimodalmodel_tpu.utils import enable_compile_cache, make_mesh
 
     enable_compile_cache()
-    B = int(os.environ.get("KLAB_FLAGSHIP_BATCH", "8"))
+    B = int(os.environ.get("KLAB_FLAGSHIP_BATCH", "16"))
     cfg = Config(  # reference defaults: t5-large towers + swinv2-base
         max_source_length=64, max_target_length=32, batch_size=B,
         compute_dtype="bfloat16", optimizer="adafactor",
