@@ -484,3 +484,40 @@ def test_tensorboard_scalars_written(tmp_path):
     cfg2 = micro_config(tmp_path, result_dir=str(tmp_path / "no_tb"))
     train(cfg2, train_loader=loader, val_loader=loader, resume=False)
     assert not os.path.isdir(os.path.join(cfg2.result_dir, "tb"))
+
+
+def test_train_end_to_end_real_coco_layout(tmp_path):
+    """Full driver run with data_dir pointing at a real MSCOCO-layout
+    directory (annotations JSON + JPEG files): exercises the loader-factory
+    dispatch, the COCO index, host JPEG decode/resize, and tokenization on
+    the way into the jit step — the reference's actual launch path
+    (train.py:43, modules/loader.py:79-89) rather than the synthetic
+    dataset the other loop tests use."""
+    import json
+    import os
+
+    from PIL import Image
+
+    d = tmp_path / "mscoco2017"
+    (d / "annotations").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for phase, n in (("train", 8), ("val", 8)):
+        (d / f"{phase}2017").mkdir()
+        images, annotations = [], []
+        for i in range(n):
+            name = f"{i:012d}.jpg"
+            arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{phase}2017" / name)
+            images.append({"id": i, "file_name": name})
+            annotations.append({"id": 10 + i, "image_id": i,
+                                "caption": f"caption number {i}"})
+        with open(d / "annotations" / f"captions_{phase}2017.json",
+                  "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+
+    cfg = micro_config(tmp_path, data_dir=str(d), num_epochs=1,
+                       result_dir=str(tmp_path / "coco_results"))
+    out = train(cfg, resume=False)  # loaders built by get_dataloader
+    assert np.isfinite(out["losses"]["train"][0])
+    assert np.isfinite(out["losses"]["val"][0])
+    assert os.path.exists(os.path.join(cfg.result_dir, "train.log"))
