@@ -24,16 +24,18 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..checkpoint.io import CheckpointManager
+from ..checkpoint.io import CheckpointManager, load_pretrained_params
 from ..config import Config
 from ..data.pipeline import DataLoader, get_dataloader
 from ..obs import profiler
 from ..obs.logger import get_logger
 from ..obs.metrics import LossCounter
+from ..obs.tb import ScalarWriter
 from ..text.tokenizer import load_tokenizer
 from ..utils.cache import enable_compile_cache
 from ..utils.mesh import make_mesh, maybe_init_distributed
 from .feature_cache import FrozenFeatureCache, swin_feature_shape
+from .optim import make_lr_schedule
 from .trainer import Trainer
 
 
@@ -104,8 +106,6 @@ def train(config: Config,
         min_val_loss = float(meta.get("min_val_loss", 100))
         logger.info(f"resumed from {name} (epoch {start_epoch - 1})")
     elif config.init_checkpoint:
-        from ..checkpoint.io import load_pretrained_params
-
         state = state.replace(params=load_pretrained_params(
             config.init_checkpoint, state.params))
         logger.info(
@@ -117,8 +117,6 @@ def train(config: Config,
     dropout_rng = jax.random.key(config.seed + 1,
                                  impl=config.dropout_rng_impl)
 
-    from ..obs.tb import ScalarWriter
-    from .optim import make_lr_schedule
     tb = ScalarWriter(os.path.join(config.result_dir, "tb")
                       if (config.tensorboard and is_main) else None)
     lr_schedule = make_lr_schedule(config, max(num_epochs or 1, 1))
@@ -181,12 +179,25 @@ def train(config: Config,
     # (a synchronous fill would idle the chip every epoch-1 step).
     pending_fill: list = []
 
-    def defer_fill(caches, index, feats):
-        pending_fill.append((caches, index, feats))
-
     def drain_fills():
         while pending_fill:
             cache_fill(*pending_fill.pop(0))
+
+    def step_with_cache(caches, batch, index, run_cached, run_full):
+        """Shared cached-dispatch: run from the cache when every sample is
+        present, else run the with-features step and defer the writeback
+        (drained AFTER the next dispatch so the device stays busy)."""
+        if caches is not None and index is not None:
+            fb = cache_lookup(caches, batch, index)
+            if fb is not None:
+                loss = run_cached(trainer.device_put_batch(fb))
+                drain_fills()
+                return loss
+            loss, feats = run_full(trainer.device_put_batch(batch))
+            drain_fills()  # previous step's feats, device now busy
+            pending_fill.append((caches, index, feats))
+            return loss
+        return run_cached(trainer.device_put_batch(batch))
 
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
@@ -198,26 +209,24 @@ def train(config: Config,
             prof.tick()
             index = merged.pop("index", None)
             dropout_rng, step_rng = jax.random.split(dropout_rng)
-            if train_cache is not None and index is not None:
-                fb = cache_lookup(train_cache, merged, index)
-                if fb is not None:
-                    device_batch = trainer.device_put_batch(fb)
-                    with profiler.annotate("train_step_cached"):
-                        state, loss = trainer.train_step(
-                            state, device_batch, step_rng)
-                    drain_fills()
-                else:
-                    device_batch = trainer.device_put_batch(merged)
-                    with profiler.annotate("train_step"):
-                        state, loss, feats = trainer.train_step_with_features(
-                            state, device_batch, step_rng)
-                    drain_fills()  # previous step's feats, device now busy
-                    defer_fill(train_cache, index, feats)
-            else:
-                device_batch = trainer.device_put_batch(merged)
+
+            def run_cached(db):
+                nonlocal state
+                name = ("train_step_cached" if "image_features" in db
+                        else "train_step")
+                with profiler.annotate(name):
+                    state, loss = trainer.train_step(state, db, step_rng)
+                return loss
+
+            def run_full(db):
+                nonlocal state
                 with profiler.annotate("train_step"):
-                    state, loss = trainer.train_step(state, device_batch,
-                                                     step_rng)
+                    state, loss, feats = trainer.train_step_with_features(
+                        state, db, step_rng)
+                return loss, feats
+
+            loss = step_with_cache(train_cache, merged, index,
+                                   run_cached, run_full)
             loss_counter.add_loss("train", loss)
             steps += 1
             images_seen += n_real_images
@@ -255,30 +264,15 @@ def train(config: Config,
             merged["target_mask"] = merged["target_mask"].copy()
             merged["target_mask"][n_real:] = 0
             run_update(merged, n_real)
-        elif micro_group:
-            # accumulation_tail == 'drop': leftovers skipped; changes step
-            # counts vs the reference (PARITY.md).
-            pass
-        micro_group = []
+        # (accumulation_tail == 'drop': leftovers skipped; changes step
+        # counts vs the reference — PARITY.md.)
 
         for batch in val_loader:
-            index = batch.pop("index", None) if isinstance(batch, dict) \
-                else None
-            if val_cache is not None and index is not None:
-                fb = cache_lookup(val_cache, batch, index)
-                if fb is not None:
-                    device_batch = trainer.device_put_batch(fb)
-                    loss = trainer.eval_step(state.params, device_batch)
-                    drain_fills()
-                else:
-                    device_batch = trainer.device_put_batch(batch)
-                    loss, feats = trainer.eval_step_with_features(
-                        state.params, device_batch)
-                    drain_fills()
-                    defer_fill(val_cache, index, feats)
-            else:
-                device_batch = trainer.device_put_batch(batch)
-                loss = trainer.eval_step(state.params, device_batch)
+            index = batch.pop("index", None)
+            loss = step_with_cache(
+                val_cache, batch, index,
+                lambda db: trainer.eval_step(state.params, db),
+                lambda db: trainer.eval_step_with_features(state.params, db))
             loss_counter.add_loss("val", loss)
         drain_fills()
         if train_cache is not None:
