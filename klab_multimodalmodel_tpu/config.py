@@ -202,8 +202,10 @@ class Config:
     # Optional learned projection between vision features and d_model
     # (quirk #8 fix); initialised to identity when dims already match.
     use_vision_projection: bool = True
-    # Tokenizer: path to a HuggingFace tokenizers JSON file (unigram/BPE) or
-    # '' to use the built-in whitespace fallback (tests / smoke runs).
+    # Tokenizer: a HuggingFace tokenizers JSON file (unigram/BPE), a raw
+    # SentencePiece ``spiece.model`` proto (the reference's tokenizer
+    # artifact, converted in-memory), or '' for the byte fallback
+    # (tests / smoke runs).
     tokenizer_path: str = ""
     # Initialize params from a converted pretrained checkpoint (the --output
     # dir of tools/convert_hf_checkpoint.py) when starting a fresh run — the

@@ -155,18 +155,76 @@ class ByteTokenizer(TokenizerBase):
         return "".join(parts)
 
 
+def _import_spm_pb2():
+    """The SentencePiece model-proto bindings transformers bundles — picks
+    the variant matching the installed protobuf runtime (the plain pb2 was
+    generated for protobuf<4; ``_new`` for >=4)."""
+    try:
+        from transformers.convert_slow_tokenizer import import_protobuf
+
+        return import_protobuf()
+    except Exception:
+        try:
+            from transformers.utils import sentencepiece_model_pb2_new
+            return sentencepiece_model_pb2_new
+        except ImportError:
+            from transformers.utils import sentencepiece_model_pb2
+            return sentencepiece_model_pb2
+
+
+def _tokenizer_from_spm(path: str):
+    """Build a ``tokenizers`` Tokenizer straight from a SentencePiece
+    ``spiece.model`` proto (the artifact the reference's ``AutoTokenizer``
+    reads, ``/root/reference/train.py:40``) — letting ``--tokenizer_path``
+    point at the official T5 file with no conversion step. Parses the proto
+    with transformers' bundled pb2, so neither the ``sentencepiece`` package
+    nor a separate conversion is needed. Mirrors HF's T5 fast-tokenizer
+    construction: unigram pieces + precompiled normalizer + metaspace, with
+    the 100 ``<extra_id_k>`` sentinels appended reversed so
+    ``<extra_id_0>`` = vocab_size - 1.
+    """
+    from tokenizers import (Regex, Tokenizer, decoders, models, normalizers,
+                            pre_tokenizers)
+
+    spm_pb2 = _import_spm_pb2()
+    m = spm_pb2.ModelProto()
+    with open(path, "rb") as f:
+        m.ParseFromString(f.read())
+    if m.trainer_spec.model_type != 1:  # 1 = UNIGRAM
+        raise ValueError(f"{path}: only unigram SentencePiece models are "
+                         "supported (T5's spiece.model is unigram)")
+    vocab = [(p.piece, p.score) for p in m.pieces]
+    tok = Tokenizer(models.Unigram(vocab, m.trainer_spec.unk_id,
+                                   m.trainer_spec.byte_fallback))
+    norms = []
+    if m.normalizer_spec.precompiled_charsmap:
+        norms.append(normalizers.Precompiled(
+            m.normalizer_spec.precompiled_charsmap))
+    norms.append(normalizers.Replace(Regex(" {2,}"), " "))
+    tok.normalizer = normalizers.Sequence(norms)
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    tok.decoder = decoders.Metaspace()
+    tok.add_special_tokens(
+        [f"<extra_id_{k}>" for k in reversed(range(NUM_SENTINELS))])
+    return tok
+
+
 class UnigramTokenizer(TokenizerBase):
     """HuggingFace ``tokenizers``-backed subword tokenizer.
 
     Loads a ``tokenizer.json`` whose vocabulary follows the T5 layout
-    (pad/eos/unk + trailing sentinels). ``train_unigram_tokenizer`` below
-    produces compatible files.
+    (pad/eos/unk + trailing sentinels), or a raw SentencePiece
+    ``*.model`` proto (converted in-memory by ``_tokenizer_from_spm``).
+    ``train_unigram_tokenizer`` below produces compatible JSON files.
     """
 
     def __init__(self, path: str):
         from tokenizers import Tokenizer
 
-        self._tok = Tokenizer.from_file(path)
+        if path.endswith(".model"):
+            self._tok = _tokenizer_from_spm(path)
+        else:
+            self._tok = Tokenizer.from_file(path)
         self.vocab_size = self._tok.get_vocab_size()
         pad = self._tok.token_to_id("<pad>")
         eos = self._tok.token_to_id("</s>")
@@ -209,7 +267,8 @@ def train_unigram_tokenizer(texts: Iterable[str], path: str,
 
 
 def load_tokenizer(path: str = "") -> TokenizerBase:
-    """Config-driven factory: JSON file path or '' for the byte fallback."""
+    """Config-driven factory: ``tokenizer.json`` path, ``spiece.model``
+    path, or '' for the byte fallback."""
     if path:
         return UnigramTokenizer(path)
     return ByteTokenizer()

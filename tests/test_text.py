@@ -111,3 +111,58 @@ def test_span_corrupt_tokenizer_integration():
                      if i >= tok.vocab_size - 100)
     assert n_sent_src >= 1
     assert n_sent_tgt == n_sent_src + 1  # trailing sentinel in target
+
+
+def test_unigram_tokenizer_from_spiece_model(tmp_path):
+    """--tokenizer_path can point straight at a SentencePiece spiece.model
+    proto (what the reference's AutoTokenizer loads, train.py:40): a tiny
+    T5-layout proto is synthesized with transformers' bundled pb2, loaded,
+    and must produce the T5 vocab conventions + roundtrip."""
+    pytest.importorskip("transformers")
+    from klab_multimodalmodel_tpu.text.tokenizer import (NUM_SENTINELS,
+                                                         _import_spm_pb2,
+                                                         load_tokenizer)
+    spm_pb2 = _import_spm_pb2()
+
+    m = spm_pb2.ModelProto()
+    m.trainer_spec.model_type = 1  # UNIGRAM
+    m.trainer_spec.unk_id = 2
+    m.trainer_spec.vocab_size = 16
+
+    def piece(text, score, ptype):
+        p = m.pieces.add()
+        p.piece = text
+        p.score = score
+        p.type = ptype
+        return p
+
+    piece("<pad>", 0.0, spm_pb2.ModelProto.SentencePiece.CONTROL)
+    piece("</s>", 0.0, spm_pb2.ModelProto.SentencePiece.CONTROL)
+    piece("<unk>", 0.0, spm_pb2.ModelProto.SentencePiece.UNKNOWN)
+    for w, s in [("▁a", -1.0), ("▁b", -1.5), ("▁cat", -2.0),
+                 ("▁dog", -2.1), ("a", -3.0), ("b", -3.1), ("c", -3.2),
+                 ("t", -3.3), ("d", -3.4), ("o", -3.5), ("g", -3.6),
+                 ("▁", -4.0), ("s", -3.7)]:
+        piece(w, s, spm_pb2.ModelProto.SentencePiece.NORMAL)
+
+    spm_path = str(tmp_path / "spiece.model")
+    with open(spm_path, "wb") as f:
+        f.write(m.SerializeToString())
+
+    tok = load_tokenizer(spm_path)
+    assert tok.pad_id == 0 and tok.eos_id == 1 and tok.unk_id == 2
+    assert tok.vocab_size == 16 + NUM_SENTINELS
+    # T5 sentinel convention after the in-memory conversion
+    assert tok.sentinel_id(0) == tok.vocab_size - 1
+    enc = tok(["a cat", "b dog s"], max_length=8)
+    assert enc.input_ids.shape == (2, 8)
+    assert enc.input_ids[0, 0] == 3  # '▁a'
+    assert enc.input_ids[0, 1] == 5  # '▁cat'
+    assert (enc.input_ids[:, :] != tok.unk_id).all()
+    # eos appended, then pad
+    row = enc.input_ids[0]
+    assert row[2] == tok.eos_id and row[3] == tok.pad_id
+    assert tok.decode(row) == "a cat"
+    # sentinels round-trip through encode (span corruption path)
+    ids = tok.encode_ids("<extra_id_0> cat")
+    assert tok.sentinel_id(0) in ids
