@@ -103,9 +103,10 @@ def main() -> None:
     ckptr.save(ckpt_path, params)
     ckptr.wait_until_finished()
 
-    tok_src = os.path.join(args.t5_dir, "tokenizer.json")
-    if os.path.exists(tok_src):
-        shutil.copy(tok_src, os.path.join(out, "tokenizer.json"))
+    for tok_name in ("tokenizer.json", "spiece.model"):
+        tok_src = os.path.join(args.t5_dir, tok_name)
+        if os.path.exists(tok_src):
+            shutil.copy(tok_src, os.path.join(out, tok_name))
     n = sum(int(np.prod(v.shape)) for v in
             __import__("jax").tree.leaves(params))
     print(f"wrote {ckpt_path} ({n:,} params)")
