@@ -88,6 +88,18 @@ def run(batch, mu_dtype):
     t = timeit(one, sync)
     print(f"batch {batch:4d}  mu_dtype {mu_dtype or 'fp32':8s}: "
           f"{t*1e3:7.2f} ms/step  {batch/t:8.1f} img/s/chip")
+
+    if os.environ.get("KLAB_CACHED_SPLIT", "0") == "1":
+        # grad-only (no optimizer update): isolates the Adam+donation cost.
+        import jax as _jax
+
+        grad_fn = _jax.jit(_jax.value_and_grad(
+            lambda p, b, r: trainer._loss_fn(p, b, r, False)))
+        loss, g = grad_fn(state.params, db, k)
+        sync(loss)
+        tg = timeit(lambda: grad_fn(state.params, db, k)[0], sync)
+        print(f"  grad-only: {tg*1e3:7.2f} ms  "
+              f"(update+overhead: {(t-tg)*1e3:6.2f} ms)")
     return batch / t
 
 
