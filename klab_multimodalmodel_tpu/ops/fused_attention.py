@@ -555,7 +555,9 @@ def swin_fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     in-kernel); bias_h: (H, N, N) CPB bias (learned -> gradient flows);
     window_mask: static numpy (nW, N, N) additive mask or None;
     softmax_dtype: in-kernel logits/softmax dtype (bf16 halves the VPU work
-    of the bounded cosine logits; backward recompute stays fp32).
+    of the bounded cosine logits; the recompute backward runs the SAME
+    softmax dtype so gradients differentiate the function the kernel
+    computed).
     """
     B, H, N, D = q.shape
     sm_name = "bfloat16" if softmax_dtype == jnp.bfloat16 else "float32"

@@ -167,3 +167,31 @@ def test_t5_model_pallas_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
             err_msg=str(ka))
+
+
+def test_swin_fused_bf16_softmax_grads_match_bf16_reference(rng):
+    """With softmax_dtype=bfloat16 the recompute backward must differentiate
+    the bf16-softmax function (round-1 advisor class of bug: an fp32-only
+    backward produces systematically mismatched grads for a trainable bf16
+    tower, not just rounding noise)."""
+    BW, H, N, D = 8, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((BW, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BW, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BW, H, N, D)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((H,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)), jnp.float32)
+
+    def loss_f(q, s, b):
+        return (swin_fused_attention(q, k, v, s, b, None,
+                                     softmax_dtype=jnp.bfloat16) ** 2).sum()
+
+    def loss_r(q, s, b):
+        return (_swin_reference(q, k, v, s, b, None,
+                                sm_dtype=jnp.bfloat16) ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(q, scale, bias)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, scale, bias)
+    for name, a, b in zip(["q", "scale", "bias"], g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2,
+            err_msg=f"bf16-softmax swin grad mismatch for {name}")
