@@ -22,6 +22,10 @@ class ScalarWriter:
 
             self._w = SummaryWriter(log_dir=log_dir)
 
+    @property
+    def enabled(self) -> bool:
+        return self._w is not None
+
     def scalar(self, tag: str, value: float, step: int) -> None:
         if self._w is not None:
             self._w.add_scalar(tag, float(value), int(step))

@@ -196,11 +196,14 @@ def _tokenizer_from_spm(path: str):
     vocab = [(p.piece, p.score) for p in m.pieces]
     tok = Tokenizer(models.Unigram(vocab, m.trainer_spec.unk_id,
                                    m.trainer_spec.byte_fallback))
+    # Exactly HF's SpmConverter.normalizer chain (T5Converter inherits it):
+    # optional Precompiled charsmap, right-strip, multi-space -> "▁".
     norms = []
     if m.normalizer_spec.precompiled_charsmap:
         norms.append(normalizers.Precompiled(
             m.normalizer_spec.precompiled_charsmap))
-    norms.append(normalizers.Replace(Regex(" {2,}"), " "))
+    norms.append(normalizers.Strip(left=False, right=True))
+    norms.append(normalizers.Replace(Regex(" {2,}"), "▁"))
     tok.normalizer = normalizers.Sequence(norms)
     tok.pre_tokenizer = pre_tokenizers.Metaspace()
     tok.decoder = decoders.Metaspace()

@@ -282,10 +282,13 @@ def train(config: Config,
         train_loss, val_loss = loss_counter.count_and_get_loss()
         dt = time.perf_counter() - epoch_t0
         ips = images_seen / dt if dt > 0 else 0.0
-        tb.scalar("loss/train", train_loss, epoch)
-        tb.scalar("loss/val", val_loss, epoch)
-        tb.scalar("throughput/img_per_sec", ips, epoch)
-        tb.scalar("lr", float(lr_schedule(steps)), epoch)
+        if tb.enabled:
+            tb.scalar("loss/train", train_loss, epoch)
+            tb.scalar("loss/val", val_loss, epoch)
+            tb.scalar("throughput/img_per_sec", ips, epoch)
+            # LR applied at this epoch's LAST update (optimizer-step count
+            # was steps-1 when it fired).
+            tb.scalar("lr", float(lr_schedule(max(steps - 1, 0))), epoch)
         if is_main:
             logger.info(
                 f"[Epoch ({epoch}/{num_epochs})] Train loss : {train_loss}, "

@@ -166,3 +166,6 @@ def test_unigram_tokenizer_from_spiece_model(tmp_path):
     # sentinels round-trip through encode (span corruption path)
     ids = tok.encode_ids("<extra_id_0> cat")
     assert tok.sentinel_id(0) in ids
+    # HF T5 normalizer parity: trailing whitespace is right-stripped
+    # (Strip(right=True) in SpmConverter) — 'a cat ' == 'a cat'
+    assert tok.encode_ids("a cat ") == tok.encode_ids("a cat")
