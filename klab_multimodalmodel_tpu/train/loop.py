@@ -199,7 +199,19 @@ def train(config: Config,
             return loss
         return run_cached(trainer.device_put_batch(batch))
 
+    def set_skip_image_load(caches, loader):
+        """Fully image-cached epochs skip the host JPEG decode entirely —
+        the cached step never touches the image tensor, and decode is the
+        dominant host cost (~131 img/s/core vs ~940 img/s/chip device)."""
+        if caches is not None:
+            # EVERY cache must be full: a full img cache with a partial
+            # lang cache still falls back to the full step, which needs
+            # real pixels.
+            loader.dataset.skip_image_load = all(
+                c.fill_fraction >= 1.0 for c in caches.values())
+
     for epoch in range(start_epoch, num_epochs + 1):
+        set_skip_image_load(train_cache, train_loader)
         train_loader.set_epoch(epoch)
         epoch_t0 = time.perf_counter()
         images_seen = 0
@@ -267,6 +279,7 @@ def train(config: Config,
         # (accumulation_tail == 'drop': leftovers skipped; changes step
         # counts vs the reference — PARITY.md.)
 
+        set_skip_image_load(val_cache, val_loader)
         for batch in val_loader:
             index = batch.pop("index", None)
             loss = step_with_cache(

@@ -521,3 +521,59 @@ def test_train_end_to_end_real_coco_layout(tmp_path):
     assert np.isfinite(out["losses"]["train"][0])
     assert np.isfinite(out["losses"]["val"][0])
     assert os.path.exists(os.path.join(cfg.result_dir, "train.log"))
+
+
+def test_skip_image_decode_when_fully_cached(tmp_path, monkeypatch):
+    """Fully image-cached epochs must not decode JPEGs at all (the step
+    ignores the image tensor), and losses must match the cache-off run
+    exactly. Partial-cache epochs keep decoding (fallback needs pixels)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    import klab_multimodalmodel_tpu.data.datasets as dsmod
+
+    d = tmp_path / "mscoco2017"
+    (d / "annotations").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for phase, n in (("train", 8), ("val", 8)):
+        (d / f"{phase}2017").mkdir()
+        images, annotations = [], []
+        for i in range(n):
+            name = f"{i:012d}.jpg"
+            arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{phase}2017" / name)
+            images.append({"id": i, "file_name": name})
+            annotations.append({"id": 10 + i, "image_id": i,
+                                "caption": f"caption number {i}"})
+        with open(d / "annotations" / f"captions_{phase}2017.json",
+                  "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+
+    decoded: list = []  # list.append is atomic under worker threads
+    real = dsmod.load_image_resized
+
+    def counting(path, size=256):
+        decoded.append(path)
+        return real(path, size)
+
+    monkeypatch.setattr(dsmod, "load_image_resized", counting)
+
+    def run(cache, subdir):
+        cfg = micro_config(tmp_path, data_dir=str(d), num_epochs=3,
+                           cache_frozen_features=cache,
+                           result_dir=str(tmp_path / subdir))
+        return train(cfg, resume=False)
+
+    out = run(True, "cached")
+    # Epoch 1 decodes 16 images (8 train + 8 val); epochs 2-3 decode none.
+    assert len(decoded) == 16, f"decoded {len(decoded)} images, expected 16"
+
+    decoded.clear()
+    out_ref = run(False, "nocache")
+    assert len(decoded) == 48  # cache off: every epoch decodes everything
+    np.testing.assert_allclose(out["losses"]["train"],
+                               out_ref["losses"]["train"], rtol=1e-6)
+    np.testing.assert_allclose(out["losses"]["val"],
+                               out_ref["losses"]["val"], rtol=1e-6)
