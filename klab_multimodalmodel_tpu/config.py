@@ -1,6 +1,6 @@
 """Configuration system.
 
-Reference parity: mirrors the 13 argparse flags of
+Reference parity: mirrors the 15 argparse flags of
 ``/root/reference/modules/config.py:3-24`` (same names, defaults, and choices),
 extended with TPU-native knobs (mesh shape, precision, padding buckets, ...).
 

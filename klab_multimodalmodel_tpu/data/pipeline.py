@@ -73,7 +73,10 @@ class DataLoader:
             return n // self.global_batch_size
         return -(-n // self.global_batch_size)
 
-    def _epoch_indices(self) -> np.ndarray:
+    def epoch_indices(self) -> np.ndarray:
+        """(num_batches, local_batch_size) dataset indices THIS host draws
+        for the current epoch (set via ``set_epoch``). Deterministic, so
+        resumable mid-epoch and usable for cache-coverage checks."""
         n = len(self.dataset)
         if self.shuffle:
             order = np.random.default_rng(
@@ -87,6 +90,8 @@ class DataLoader:
         local = order.reshape(num_batches, self.process_count,
                               self.local_batch_size)[:, self.process_index]
         return local  # (num_batches, local_batch_size)
+
+    _epoch_indices = epoch_indices  # back-compat alias
 
     def _assemble(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Batch:
         items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))

@@ -2,9 +2,10 @@
 
 The reference's observability is a text log + a matplotlib loss curve
 (``/root/reference/modules/losses.py:19-31``); SURVEY.md §5 calls for an
-optional TensorBoard sink on top. Uses ``torch.utils.tensorboard`` (torch
-is already a host-side dependency for the HF golden tests / converters);
-imports lazily so training never requires it.
+optional TensorBoard sink on top. Uses ``torch.utils.tensorboard``, which
+is NOT a base dependency — install the ``tb`` extra
+(``pip install klab-multimodalmodel-tpu[tb]``) to use ``--tensorboard``;
+the import is lazy so training without the flag never requires it.
 """
 
 from __future__ import annotations
@@ -18,7 +19,13 @@ class ScalarWriter:
     def __init__(self, log_dir: Optional[str]):
         self._w = None
         if log_dir:
-            from torch.utils.tensorboard import SummaryWriter
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError as e:
+                raise ImportError(
+                    "--tensorboard needs torch + tensorboard on the host: "
+                    "pip install 'klab-multimodalmodel-tpu[tb]' (or drop "
+                    "the flag; train.log + loss.png need no extras)") from e
 
             self._w = SummaryWriter(log_dir=log_dir)
 

@@ -155,53 +155,33 @@ class ByteTokenizer(TokenizerBase):
         return "".join(parts)
 
 
-def _import_spm_pb2():
-    """The SentencePiece model-proto bindings transformers bundles — picks
-    the variant matching the installed protobuf runtime (the plain pb2 was
-    generated for protobuf<4; ``_new`` for >=4)."""
-    try:
-        from transformers.convert_slow_tokenizer import import_protobuf
-
-        return import_protobuf()
-    except Exception:
-        try:
-            from transformers.utils import sentencepiece_model_pb2_new
-            return sentencepiece_model_pb2_new
-        except ImportError:
-            from transformers.utils import sentencepiece_model_pb2
-            return sentencepiece_model_pb2
-
-
 def _tokenizer_from_spm(path: str):
     """Build a ``tokenizers`` Tokenizer straight from a SentencePiece
     ``spiece.model`` proto (the artifact the reference's ``AutoTokenizer``
     reads, ``/root/reference/train.py:40``) — letting ``--tokenizer_path``
-    point at the official T5 file with no conversion step. Parses the proto
-    with transformers' bundled pb2, so neither the ``sentencepiece`` package
-    nor a separate conversion is needed. Mirrors HF's T5 fast-tokenizer
-    construction: unigram pieces + precompiled normalizer + metaspace, with
-    the 100 ``<extra_id_k>`` sentinels appended reversed so
-    ``<extra_id_0>`` = vocab_size - 1.
+    point at the official T5 file with no conversion step. The proto is
+    parsed with the vendored wire-format reader (``spm_proto.py``), so
+    neither ``transformers`` nor the ``sentencepiece`` package is needed at
+    runtime. Mirrors HF's T5 fast-tokenizer construction: unigram pieces +
+    precompiled normalizer + metaspace, with the 100 ``<extra_id_k>``
+    sentinels appended reversed so ``<extra_id_0>`` = vocab_size - 1.
     """
     from tokenizers import (Regex, Tokenizer, decoders, models, normalizers,
                             pre_tokenizers)
 
-    spm_pb2 = _import_spm_pb2()
-    m = spm_pb2.ModelProto()
-    with open(path, "rb") as f:
-        m.ParseFromString(f.read())
-    if m.trainer_spec.model_type != 1:  # 1 = UNIGRAM
+    from .spm_proto import load_model_proto
+
+    m = load_model_proto(path)
+    if m.model_type != 1:  # 1 = UNIGRAM
         raise ValueError(f"{path}: only unigram SentencePiece models are "
                          "supported (T5's spiece.model is unigram)")
-    vocab = [(p.piece, p.score) for p in m.pieces]
-    tok = Tokenizer(models.Unigram(vocab, m.trainer_spec.unk_id,
-                                   m.trainer_spec.byte_fallback))
+    vocab = list(m.pieces)
+    tok = Tokenizer(models.Unigram(vocab, m.unk_id, m.byte_fallback))
     # Exactly HF's SpmConverter.normalizer chain (T5Converter inherits it):
     # optional Precompiled charsmap, right-strip, multi-space -> "▁".
     norms = []
-    if m.normalizer_spec.precompiled_charsmap:
-        norms.append(normalizers.Precompiled(
-            m.normalizer_spec.precompiled_charsmap))
+    if m.precompiled_charsmap:
+        norms.append(normalizers.Precompiled(m.precompiled_charsmap))
     norms.append(normalizers.Strip(left=False, right=True))
     norms.append(normalizers.Replace(Regex(" {2,}"), "▁"))
     tok.normalizer = normalizers.Sequence(norms)

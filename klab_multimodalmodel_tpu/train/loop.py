@@ -202,17 +202,21 @@ def train(config: Config,
     def set_skip_image_load(caches, loader):
         """Fully image-cached epochs skip the host JPEG decode entirely —
         the cached step never touches the image tensor, and decode is the
-        dominant host cost (~131 img/s/core vs ~940 img/s/chip device)."""
+        dominant host cost (~131 img/s/core vs ~940 img/s/chip device).
+        Gates on THIS host's epoch index shard (call after set_epoch), not
+        the global fill fraction: in multi-host runs each host only ever
+        fills its own rows, so a global >= 1.0 test would never pass."""
         if caches is not None:
-            # EVERY cache must be full: a full img cache with a partial
-            # lang cache still falls back to the full step, which needs
-            # real pixels.
+            # EVERY cache must cover every row this host will draw: a full
+            # img cache with a partial lang cache still falls back to the
+            # full step, which needs real pixels.
+            shard = loader.epoch_indices().reshape(-1)
             loader.dataset.skip_image_load = all(
-                c.fill_fraction >= 1.0 for c in caches.values())
+                c.has(shard) for c in caches.values())
 
     for epoch in range(start_epoch, num_epochs + 1):
-        set_skip_image_load(train_cache, train_loader)
         train_loader.set_epoch(epoch)
+        set_skip_image_load(train_cache, train_loader)
         epoch_t0 = time.perf_counter()
         images_seen = 0
 

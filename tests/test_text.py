@@ -119,10 +119,11 @@ def test_unigram_tokenizer_from_spiece_model(tmp_path):
     T5-layout proto is synthesized with transformers' bundled pb2, loaded,
     and must produce the T5 vocab conventions + roundtrip."""
     pytest.importorskip("transformers")
+    from transformers.convert_slow_tokenizer import import_protobuf
+
     from klab_multimodalmodel_tpu.text.tokenizer import (NUM_SENTINELS,
-                                                         _import_spm_pb2,
                                                          load_tokenizer)
-    spm_pb2 = _import_spm_pb2()
+    spm_pb2 = import_protobuf()
 
     m = spm_pb2.ModelProto()
     m.trainer_spec.model_type = 1  # UNIGRAM
@@ -145,9 +146,22 @@ def test_unigram_tokenizer_from_spiece_model(tmp_path):
                  ("▁", -4.0), ("s", -3.7)]:
         piece(w, s, spm_pb2.ModelProto.SentencePiece.NORMAL)
 
+    m.trainer_spec.byte_fallback = False
+    m.normalizer_spec.precompiled_charsmap = b""
     spm_path = str(tmp_path / "spiece.model")
     with open(spm_path, "wb") as f:
         f.write(m.SerializeToString())
+
+    # The vendored wire-format reader (spm_proto.py — what the production
+    # path parses with, no transformers needed) must agree field-for-field
+    # with the real protobuf bindings on this official layout.
+    from klab_multimodalmodel_tpu.text.spm_proto import load_model_proto
+    parsed = load_model_proto(spm_path)
+    assert parsed.model_type == 1
+    assert parsed.unk_id == 2
+    assert parsed.byte_fallback is False
+    assert parsed.precompiled_charsmap == b""
+    assert parsed.pieces == [(p.piece, p.score) for p in m.pieces]
 
     tok = load_tokenizer(spm_path)
     assert tok.pad_id == 0 and tok.eos_id == 1 and tok.unk_id == 2
