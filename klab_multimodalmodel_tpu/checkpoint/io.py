@@ -90,12 +90,19 @@ class CheckpointManager:
 
     # -- resume discovery --------------------------------------------------
     def latest(self) -> Optional[str]:
-        """Most recent interval checkpoint name (epoch_N/step_N), if any."""
-        best_n, best_name = -1, None
+        """Most advanced interval checkpoint name (epoch_N/step_N), if any.
+
+        Ordered by the optimizer-step count recorded in each checkpoint's
+        metadata (epoch_N and step_N numbers are not comparable to each
+        other — a preemption ``step_40`` is later than ``epoch_3``); falls
+        back to the name's N for checkpoints without metadata.
+        """
+        best_key, best_name = (-1, -1), None
         for entry in os.listdir(self.base):
             m = re.fullmatch(r"(epoch|step)_(\d+)", entry)
             if m and os.path.isdir(os.path.join(self.base, entry)):
-                n = int(m.group(2))
-                if n > best_n:
-                    best_n, best_name = n, entry
+                meta = self.load_metadata(entry) or {}
+                key = (int(meta.get("steps", -1)), int(m.group(2)))
+                if key > best_key:
+                    best_key, best_name = key, entry
         return best_name

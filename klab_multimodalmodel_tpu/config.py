@@ -227,6 +227,17 @@ class Config:
     # on cached features — bit-identical losses, ~2x step throughput at the
     # bench geometry. Requires image_model_train=False.
     cache_frozen_features: bool = False
+    # Preemption / mid-epoch resume (SURVEY.md §5 checkpoint row: full
+    # train-state incl. RNG + data-iterator state). halt_after_steps > 0
+    # stops after that many optimizer steps, saving a step_N checkpoint
+    # with the within-epoch cursor, dropout RNG and loss partials — a
+    # resumed run is bit-identical to the uninterrupted one
+    # (tests/test_train.py::test_bit_exact_midepoch_resume).
+    halt_after_steps: int = 0
+    # Save the same preemption checkpoint on SIGTERM (the signal TPU
+    # preemption / maintenance events deliver) after the in-flight
+    # optimizer step completes.
+    save_on_sigterm: bool = True
     # Leftover microbatches when len(loader) % accumulation_steps != 0
     # (the reference runs a ragged final partial update, train.py:61-67):
     #   'pad'   - run the final partial update with zero-weight padding rows

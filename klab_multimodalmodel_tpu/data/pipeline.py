@@ -108,7 +108,13 @@ class DataLoader:
                      index=np.asarray(idxs, np.int64))
 
     def __iter__(self) -> Iterator[Batch]:
-        batches = self._epoch_indices()
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Batch]:
+        """Iterate the current epoch starting at batch ``start_batch`` —
+        mid-epoch resume (preemption checkpoints) replays the tail of the
+        deterministic epoch order without decoding the consumed prefix."""
+        batches = self.epoch_indices()[start_batch:]
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()

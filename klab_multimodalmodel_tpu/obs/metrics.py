@@ -33,6 +33,22 @@ class LossCounter:
     def add_loss(self, phase: str, loss) -> None:
         self._pending[phase].append(loss)
 
+    # -- checkpointable state (mid-epoch preemption resume) ---------------
+    def state_dict(self) -> dict:
+        """Epoch history + the current epoch's pending partials (synced to
+        host floats) — JSON-serializable, stored in checkpoint metadata so
+        a resumed run's loss curve is bit-identical to an uninterrupted
+        one."""
+        return {
+            "losses": {k: list(v) for k, v in self.losses.items()},
+            "pending": {k: [float(jax.device_get(v)) for v in vals]
+                        for k, vals in self._pending.items()},
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.losses = {k: list(v) for k, v in state["losses"].items()}
+        self._pending = {k: list(v) for k, v in state["pending"].items()}
+
     def count_and_get_loss(self) -> tuple[float, float]:
         for phase in ("train", "val"):
             vals = [float(jax.device_get(v)) for v in self._pending[phase]]

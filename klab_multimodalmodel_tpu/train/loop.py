@@ -18,6 +18,7 @@ resume at all — SURVEY.md §5).
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -97,14 +98,17 @@ def train(config: Config,
     start_epoch = 1
     steps = 0
     min_val_loss = 100  # literal parity with train.py:48
+    resume_meta: dict = {}
     if resume and ckpt.latest() is not None:
         name = ckpt.latest()
         state = ckpt.restore(name, state)
-        meta = ckpt.load_metadata(name) or {}
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        steps = int(meta.get("steps", int(state.step)))
-        min_val_loss = float(meta.get("min_val_loss", 100))
-        logger.info(f"resumed from {name} (epoch {start_epoch - 1})")
+        resume_meta = ckpt.load_metadata(name) or {}
+        start_epoch = int(resume_meta.get("epoch", 0)) + 1
+        steps = int(resume_meta.get("steps", int(state.step)))
+        min_val_loss = float(resume_meta.get("min_val_loss", 100))
+        logger.info(
+            f"resumed from {name} (epoch {start_epoch - 1}, "
+            f"cursor {int(resume_meta.get('epoch_cursor', 0))})")
     elif config.init_checkpoint:
         state = state.replace(params=load_pretrained_params(
             config.init_checkpoint, state.params))
@@ -116,6 +120,19 @@ def train(config: Config,
     # ~50% extra wall-clock on the transformer grad step.
     dropout_rng = jax.random.key(config.seed + 1,
                                  impl=config.dropout_rng_impl)
+    # Bit-exact resume (SURVEY.md §5 checkpoint row: "params, opt state,
+    # step, RNG, data-iterator state"): restore the dropout RNG stream, the
+    # within-epoch update cursor, and the loss-counter partials that every
+    # save records — a resumed run replays exactly the uninterrupted one
+    # (test_train.py::test_bit_exact_midepoch_resume).
+    resume_cursor = int(resume_meta.get("epoch_cursor", 0))
+    if resume_meta.get("dropout_rng") is not None:
+        dropout_rng = jax.random.wrap_key_data(
+            np.asarray(resume_meta["dropout_rng"], np.uint32),
+            impl=resume_meta.get("dropout_rng_impl",
+                                 config.dropout_rng_impl))
+    if resume_meta.get("loss_counter") is not None:
+        loss_counter.load_state_dict(resume_meta["loss_counter"])
 
     tb = ScalarWriter(os.path.join(config.result_dir, "tb")
                       if (config.tensorboard and is_main) else None)
@@ -167,11 +184,13 @@ def train(config: Config,
         return fb
 
     def cache_fill(caches, index, feats):
+        # index holds THIS host's dataset rows; fetch only this host's
+        # addressable rows of the batch-sharded global feature arrays
+        # (a plain device_get would fail across processes).
         img_feats, lang_feats = feats
-        caches["img"].put(index, np.asarray(jax.device_get(img_feats)))
+        caches["img"].put(index, trainer.host_local_rows(img_feats))
         if "lang" in caches:
-            caches["lang"].put(index,
-                               np.asarray(jax.device_get(lang_feats)))
+            caches["lang"].put(index, trainer.host_local_rows(lang_feats))
 
     # Fill writebacks are deferred by one step: jax dispatch is async, so
     # draining the PREVIOUS step's features after dispatching the next step
@@ -214,11 +233,53 @@ def train(config: Config,
             loader.dataset.skip_image_load = all(
                 c.has(shard) for c in caches.values())
 
+    # -- preemption / halt machinery ---------------------------------------
+    halt_flag = {"sig": False}
+    prev_sigterm = None
+    if config.save_on_sigterm:
+        try:
+            prev_sigterm = signal.signal(
+                signal.SIGTERM,
+                lambda *_: halt_flag.__setitem__("sig", True))
+        except ValueError:
+            prev_sigterm = None  # not the main thread — opt out
+
+    def should_halt() -> bool:
+        return bool((config.halt_after_steps
+                     and steps >= config.halt_after_steps)
+                    or halt_flag["sig"])
+
+    def resume_state_meta() -> dict:
+        """RNG + loss-partial fields added to EVERY checkpoint's metadata so
+        any resume — epoch-granular or mid-epoch — is bit-exact."""
+        return {
+            "dropout_rng": np.asarray(
+                jax.random.key_data(dropout_rng), np.uint32).tolist(),
+            "dropout_rng_impl": config.dropout_rng_impl,
+            "loss_counter": loss_counter.state_dict(),
+        }
+
+    def finish(summary_extra: dict) -> dict:
+        prof.close()
+        tb.close()
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+        return {"state": state, "losses": loss_counter.losses,
+                "min_val_loss": min_val_loss, "steps": steps,
+                "trainer": trainer, **summary_extra}
+
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
         set_skip_image_load(train_cache, train_loader)
         epoch_t0 = time.perf_counter()
         images_seen = 0
+        groups_done = 0
+        start_batch = 0
+        if epoch == start_epoch and resume_cursor:
+            # Mid-epoch resume: replay this epoch's deterministic order from
+            # the saved cursor (consumed groups are never re-run).
+            groups_done = resume_cursor
+            start_batch = resume_cursor * accum
 
         def run_update(merged, n_real_images):
             nonlocal state, dropout_rng, steps, images_seen
@@ -254,8 +315,27 @@ def train(config: Config,
                     f"({images_seen / dt_so_far / max(jax.device_count(), 1):.1f}"
                     f" img/s/chip)")
 
+        def preempt_save() -> dict:
+            """Save a step_N checkpoint carrying the full mid-epoch cursor
+            (groups done this epoch, RNG, loss partials) and stop. The
+            notion matches a torchrun job killed mid-epoch — except here the
+            run continues bit-exactly."""
+            drain_fills()
+            if train_cache is not None:
+                for c in (*train_cache.values(), *val_cache.values()):
+                    c.flush()
+            meta = {"epoch": epoch - 1, "steps": steps,
+                    "min_val_loss": min_val_loss,
+                    "epoch_cursor": groups_done, **resume_state_meta()}
+            ckpt.save(f"step_{steps}", state, meta)
+            if is_main:
+                logger.info(
+                    f"halt: saved step_{steps} (epoch {epoch} cursor "
+                    f"{groups_done}) — resume continues bit-exactly")
+            return finish({"halted": True})
+
         micro_group: list = []
-        for batch in train_loader:
+        for batch in train_loader.iter_from(start_batch):
             micro_group.append(batch)
             if len(micro_group) < accum:
                 continue
@@ -263,6 +343,9 @@ def train(config: Config,
                       for k in micro_group[0]}
             micro_group = []
             run_update(merged, merged["images"].shape[0])
+            groups_done += 1
+            if should_halt():
+                return preempt_save()
         if micro_group and config.accumulation_tail == "pad":
             # Ragged final update (reference parity, train.py:61-67): pad
             # the leftover microbatches to the full accum group by cycling
@@ -280,6 +363,9 @@ def train(config: Config,
             merged["target_mask"] = merged["target_mask"].copy()
             merged["target_mask"][n_real:] = 0
             run_update(merged, n_real)
+            groups_done += 1
+            if should_halt():
+                return preempt_save()
         # (accumulation_tail == 'drop': leftovers skipped; changes step
         # counts vs the reference — PARITY.md.)
 
@@ -318,8 +404,9 @@ def train(config: Config,
         # because val_loss is the jit-computed global mean. Only logging is
         # rank-0-gated.
         meta = {"epoch": epoch, "steps": steps,
-                "min_val_loss": min_val_loss,
-                "train_loss": train_loss, "val_loss": val_loss}
+                "min_val_loss": min_val_loss, "epoch_cursor": 0,
+                "train_loss": train_loss, "val_loss": val_loss,
+                **resume_state_meta()}
         if val_loss < min_val_loss:
             min_val_loss = val_loss
             meta["min_val_loss"] = min_val_loss
@@ -343,10 +430,6 @@ def train(config: Config,
                     if is_main:
                         logger.info(f"Model step_{steps} saved")
 
-    prof.close()
-    tb.close()
     if is_main:
         loss_counter.plot_loss(config.result_dir)
-    return {"state": state, "losses": loss_counter.losses,
-            "min_val_loss": min_val_loss, "steps": steps,
-            "trainer": trainer}
+    return finish({"halted": False})

@@ -269,6 +269,24 @@ class Trainer:
             self._eval_step_f = self.make_eval_step(with_features=True)
         return self._eval_step_f
 
+    # -- device->host batch readback ---------------------------------------
+    @staticmethod
+    def host_local_rows(arr) -> np.ndarray:
+        """This host's rows of a batch-sharded global array, in row order.
+
+        The multi-process complement of ``device_put_batch``: a global
+        (global_batch, ...) array sharded over the data-like axes cannot be
+        ``device_get`` across processes — each host reads back exactly the
+        rows it contributed (feature-cache writeback). Tensor-axis replicas
+        duplicate row ranges; deduped by start offset.
+        """
+        seen: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(s.data)
+        return np.concatenate([seen[k] for k in sorted(seen)])
+
     # -- host->device batch transfer --------------------------------------
     def device_put_batch(self, batch: dict) -> dict:
         sharding = NamedSharding(self.mesh, P(("data", "fsdp")))

@@ -19,9 +19,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host rendezvous (c10d equivalent). No-op single-host."""
-    if os.environ.get("KLAB_MULTIHOST", "0") == "1":
-        jax.distributed.initialize()
+    """Multi-host rendezvous — the c10d ``init_process_group`` equivalent
+    (``/root/reference/train.py:12``). No-op single-host or if already
+    initialized.
+
+    ``KLAB_MULTIHOST=1`` turns it on. On TPU pods ``jax.distributed
+    .initialize()`` autodetects coordinator/process topology from the TPU
+    environment; elsewhere (CPU harness, manual clusters) the torchrun-style
+    env vars ``KLAB_COORDINATOR`` (host:port), ``KLAB_NUM_PROCESSES`` and
+    ``KLAB_PROCESS_ID`` pin it explicitly, and
+    ``KLAB_CPU_COLLECTIVES`` (gloo|mpi) selects the cross-process CPU
+    collectives backend (exercised by tools/multiprocess_smoke.py and
+    tests/test_multiprocess.py on a loopback coordinator).
+    """
+    if os.environ.get("KLAB_MULTIHOST", "0") != "1":
+        return
+    if jax._src.distributed.global_state.client is not None:
+        return  # already initialized (e.g. by an outer harness)
+    impl = os.environ.get("KLAB_CPU_COLLECTIVES", "")
+    if impl:
+        jax.config.update("jax_cpu_collectives_implementation", impl)
+    kwargs = {}
+    if os.environ.get("KLAB_COORDINATOR"):
+        kwargs["coordinator_address"] = os.environ["KLAB_COORDINATOR"]
+    if os.environ.get("KLAB_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["KLAB_NUM_PROCESSES"])
+    if os.environ.get("KLAB_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["KLAB_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def resolve_mesh_shape(mesh_shape: Sequence[int],

@@ -291,12 +291,62 @@ def test_full_train_loop_and_resume(tmp_path):
     assert os.path.exists(os.path.join(cfg.result_dir, "train.log"))
 
     # resume: runs only the remaining epochs (none -> immediately done),
-    # then extend to 3 epochs and confirm it continues from epoch 3.
+    # then extend to 3 epochs and confirm it continues from epoch 3. The
+    # restored loss history covers epochs 1-2, so the full curve is 3 long
+    # but matches the first run on the restored prefix.
     cfg3 = micro_config(tmp_path, num_epochs=3, save_interval=1)
     out2 = train(cfg3, train_loader=loader, val_loader=val_loader,
                  resume=True)
-    assert len(out2["losses"]["train"]) == 1  # only epoch 3 ran
+    assert len(out2["losses"]["train"]) == 3  # epochs 1-2 restored + 3 ran
+    assert out2["losses"]["train"][:2] == out["losses"]["train"]
     assert int(out2["steps"]) == 3 * len(loader)
+
+
+register_t5_size("t5-micro-dropout", T5Size(
+    d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+    num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+    relative_attention_max_distance=16, dropout_rate=0.1))
+
+
+def test_bit_exact_midepoch_resume(tmp_path):
+    """Kill training at step k of epoch e, resume, final state BIT-identical
+    to the uninterrupted run — with live dropout, so the restored RNG
+    stream, within-epoch cursor and loss partials are all load-bearing
+    (SURVEY.md §5 checkpoint row)."""
+
+    def run(tag, halt):
+        cfg = micro_config(
+            tmp_path, result_dir=str(tmp_path / tag), num_epochs=2,
+            language_model_name="t5-micro-dropout",
+            transformer_model_name="t5-micro-dropout",
+            halt_after_steps=halt)
+        loader = _make_loader(cfg, n=16)   # 2 update groups per epoch
+        val_loader = _make_loader(cfg, n=8)
+        return train(cfg, train_loader=loader, val_loader=val_loader,
+                     resume=True)
+
+    out_a = run("uninterrupted", 0)
+    assert not out_a["halted"]
+
+    out_b1 = run("interrupted", 3)  # dies mid-epoch-2 (cursor 1 of 2)
+    assert out_b1["halted"]
+    assert int(out_b1["steps"]) == 3
+    out_b2 = run("interrupted", 0)  # resumes at epoch 2, batch 2
+    assert not out_b2["halted"]
+
+    pa = jax.device_get(out_a["state"].params)
+    pb = jax.device_get(out_b2["state"].params)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(pa)[0],
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(pb)[0],
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+    assert out_a["losses"] == out_b2["losses"]
+    assert out_a["min_val_loss"] == out_b2["min_val_loss"]
+    assert int(out_a["steps"]) == int(out_b2["steps"]) == 4
 
 
 def test_adafactor_and_frozen_bf16(tmp_path):
