@@ -207,6 +207,12 @@ class Config:
     # artifact, converted in-memory), or '' for the byte fallback
     # (tests / smoke runs).
     tokenizer_path: str = ""
+    # Batch-encode through the native C++ unigram core
+    # (native/klab_host.cpp) instead of the Python/Rust tokenizers path —
+    # same full HF-T5 chain (charsmap, strip, metaspace, sentinels),
+    # parity-pinned by tests/test_native.py. Requires tokenizer_path and
+    # the built native library.
+    native_tokenizer: bool = False
     # Initialize params from a converted pretrained checkpoint (the --output
     # dir of tools/convert_hf_checkpoint.py) when starting a fresh run — the
     # equivalent of the reference's startup from_pretrained pulls
@@ -409,6 +415,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--cache_frozen_features", action="store_true")
     parser.add_argument("--tokenizer_path", type=str, default=d.tokenizer_path)
+    parser.add_argument("--native_tokenizer", action="store_true")
+    parser.add_argument("--halt_after_steps", type=int,
+                        default=d.halt_after_steps)
     parser.add_argument("--init_checkpoint", type=str,
                         default=d.init_checkpoint)
     parser.add_argument("--num_workers", type=int, default=d.num_workers)

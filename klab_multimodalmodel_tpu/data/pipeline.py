@@ -44,7 +44,8 @@ class DataLoader:
                  max_target_length: int = 128, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  num_workers: int | None = None, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 native_encoder=None):
         if global_batch_size % process_count != 0:
             raise ValueError(
                 f"global batch {global_batch_size} % hosts {process_count}")
@@ -61,6 +62,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        # Optional native.NativeUnigramEncoder (--native_tokenizer): C++
+        # batch encode with the same chain/ids as `tokenizer` (parity
+        # pinned by tests/test_native.py); decode stays on `tokenizer`.
+        self.native_encoder = native_encoder
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -93,16 +98,25 @@ class DataLoader:
 
     _epoch_indices = epoch_indices  # back-compat alias
 
+    def _encode(self, texts: list, max_length: int):
+        if self.native_encoder is not None:
+            ids, mask = self.native_encoder.encode_batch(
+                texts, max_length, pad_id=self.tokenizer.pad_id,
+                eos_id=self.tokenizer.eos_id)
+            return ids, mask
+        enc = self.tokenizer(texts, max_length=max_length)
+        return enc.input_ids, enc.attention_mask
+
     def _assemble(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Batch:
         items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))
         images = np.stack([it[0] for it in items])
-        src = self.tokenizer([it[1] for it in items],
-                             max_length=self.max_source_length)
-        tgt = self.tokenizer([it[2] for it in items],
-                             max_length=self.max_target_length)
+        src_ids, src_mask = self._encode([it[1] for it in items],
+                                         self.max_source_length)
+        tgt_ids, tgt_mask = self._encode([it[2] for it in items],
+                                         self.max_target_length)
         return Batch(images=images,
-                     source_ids=src.input_ids, source_mask=src.attention_mask,
-                     target_ids=tgt.input_ids, target_mask=tgt.attention_mask,
+                     source_ids=src_ids, source_mask=src_mask,
+                     target_ids=tgt_ids, target_mask=tgt_mask,
                      # dataset-index of each row: keys the frozen-feature
                      # cache; popped from the batch before device transfer
                      index=np.asarray(idxs, np.int64))
@@ -157,6 +171,18 @@ def get_dataloader(config, phase: str, tokenizer: TokenizerBase,
     dataset = build_dataset(config.data_dir, phase, config.swin.image_size,
                             config.seed)
     n_dev = num_devices if num_devices is not None else jax.device_count()
+    native_encoder = None
+    if config.native_tokenizer:
+        if not config.tokenizer_path:
+            raise ValueError("--native_tokenizer requires --tokenizer_path "
+                             "(the byte fallback has no native core)")
+        from ..native import NativeUnigramEncoder, available
+
+        if not available():
+            raise RuntimeError(
+                "--native_tokenizer: native library unavailable "
+                "(run `make -C native` in the repo root)")
+        native_encoder = NativeUnigramEncoder(config.tokenizer_path)
     return DataLoader(
         dataset, tokenizer,
         global_batch_size=config.batch_size * n_dev,
@@ -166,4 +192,5 @@ def get_dataloader(config, phase: str, tokenizer: TokenizerBase,
         num_workers=config.num_workers or None,
         prefetch=config.prefetch_batches,
         process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=jax.process_count(),
+        native_encoder=native_encoder)

@@ -1,10 +1,11 @@
 """ctypes bindings for the native host runtime (native/klab_host.cpp).
 
 Provides the C++ equivalents of the reference's native host dependencies
-(SURVEY.md §2C): Pillow-compatible multithreaded image resizing, a
-SentencePiece-style unigram Viterbi tokenizer core, and epoch-seeded
-shuffle/shard index generation. Every entry degrades gracefully to the pure
-Python/Pillow path when the shared library is unavailable.
+(SURVEY.md §2C): Pillow-compatible multithreaded image resizing and a
+SentencePiece-style unigram tokenizer core with the full HF-T5
+normalization chain (production opt-in via --native_tokenizer). Every
+entry degrades gracefully to the pure Python/Pillow path when the shared
+library is unavailable.
 """
 
 from __future__ import annotations
@@ -49,9 +50,12 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
-        lib.klab_epoch_indices.argtypes = [
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.klab_tok_add_special.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.klab_tok_add_special.restype = ctypes.c_int
+        lib.klab_tok_set_charsmap.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64]
+        lib.klab_tok_set_charsmap.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -97,40 +101,87 @@ def resize_batch(images: Sequence[np.ndarray], size: int,
 
 
 class NativeUnigramEncoder:
-    """Viterbi encoder over a HF-tokenizers unigram ``tokenizer.json``.
+    """C++ Viterbi batch encoder with the FULL HF-T5 tokenization chain.
 
-    Covers the hot path (batch encode + pad); decode stays on the Python
-    tokenizer, mirroring the reference's host-side sentencepiece split.
+    Loads either a HF-tokenizers unigram ``tokenizer.json`` or a raw
+    SentencePiece ``spiece.model`` proto (the reference's tokenizer
+    artifact, ``/root/reference/train.py:40``) — the same two inputs
+    ``text.tokenizer.UnigramTokenizer`` accepts — and reproduces its
+    pipeline natively: precompiled-charsmap normalization, right-strip,
+    multi-space collapse, metaspace, raw-text sentinel extraction,
+    per-pre-token Viterbi. Parity vs the Python path is pinned by
+    tests/test_native.py (incl. charsmap + sentinel cases). Covers the hot
+    path (batch encode + pad); decode stays on the Python tokenizer,
+    mirroring the reference's host-side sentencepiece split.
     """
 
-    def __init__(self, tokenizer_json_path: str):
+    def __init__(self, path: str):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        with open(tokenizer_json_path) as f:
+        if path.endswith(".model"):
+            pieces, scores, ids, unk_id, charsmap, specials = \
+                self._from_spm(path)
+        else:
+            pieces, scores, ids, unk_id, charsmap, specials = \
+                self._from_json(path)
+        blob = b"\0".join(pieces) + b"\0"
+        score_arr = (ctypes.c_float * len(scores))(*scores)
+        id_arr = (ctypes.c_int * len(ids))(*ids)
+        self._lib = lib
+        self._handle = lib.klab_tok_new(blob, score_arr, id_arr, len(ids),
+                                        unk_id)
+        for content, tok_id in specials:
+            lib.klab_tok_add_special(self._handle,
+                                     content.encode("utf-8"), tok_id)
+        if charsmap:
+            rc = lib.klab_tok_set_charsmap(self._handle, charsmap,
+                                           len(charsmap))
+            if rc != 0:
+                raise ValueError(f"{path}: malformed precompiled_charsmap")
+
+    @staticmethod
+    def _from_spm(path: str):
+        """Mirror text.tokenizer._tokenizer_from_spm: unigram pieces +
+        charsmap from the proto, 100 sentinels appended reversed so
+        <extra_id_0> = vocab_size - 1."""
+        from ..text.spm_proto import load_model_proto
+
+        m = load_model_proto(path)
+        if m.model_type != 1:
+            raise ValueError(f"{path}: only unigram models supported")
+        pieces = [p.encode("utf-8") for p, _ in m.pieces]
+        scores = [s for _, s in m.pieces]
+        ids = list(range(len(pieces)))
+        n = len(pieces)
+        specials = [(f"<extra_id_{k}>", n + (99 - k)) for k in range(100)]
+        return pieces, scores, ids, m.unk_id, m.precompiled_charsmap, specials
+
+    @staticmethod
+    def _from_json(path: str):
+        import base64
+
+        with open(path) as f:
             spec = json.load(f)
         model = spec.get("model", {})
         if model.get("type") != "Unigram":
             raise ValueError("native encoder requires a Unigram model")
         vocab = model["vocab"]  # [[piece, score], ...]
-        pieces, scores, ids = [], [], []
-        for i, (piece, score) in enumerate(vocab):
-            pieces.append(piece.encode("utf-8"))
-            scores.append(score)
-            ids.append(i)
-        # added special tokens (sentinels) are single pieces with id order
-        for tok in spec.get("added_tokens", []):
-            if tok["id"] >= len(vocab):
-                pieces.append(tok["content"].encode("utf-8"))
-                scores.append(0.0)
-                ids.append(tok["id"])
-        blob = b"\0".join(pieces) + b"\0"
-        score_arr = (ctypes.c_float * len(scores))(*scores)
-        id_arr = (ctypes.c_int * len(ids))(*ids)
-        unk_id = model.get("unk_id", 2)
-        self._lib = lib
-        self._handle = lib.klab_tok_new(blob, score_arr, id_arr, len(ids),
-                                        unk_id)
+        pieces = [p.encode("utf-8") for p, _ in vocab]
+        scores = [s for _, s in vocab]
+        ids = list(range(len(pieces)))
+        # added tokens beyond the unigram vocab (sentinels) are specials,
+        # matched on raw text — NOT scored pieces
+        specials = [(t["content"], t["id"])
+                    for t in spec.get("added_tokens", [])
+                    if t["id"] >= len(vocab)]
+        charsmap = b""
+        norm = spec.get("normalizer") or {}
+        chain = norm.get("normalizers", [norm] if norm else [])
+        for entry in chain:
+            if entry.get("type") == "Precompiled":
+                charsmap = base64.b64decode(entry["precompiled_charsmap"])
+        return pieces, scores, ids, model.get("unk_id", 2), charsmap, specials
 
     def encode_batch(self, texts: Sequence[str], max_len: int,
                      pad_id: int = 0, eos_id: int = 1,
@@ -146,22 +197,7 @@ class NativeUnigramEncoder:
         return ids, mask
 
 
-# ---------------------------------------------------------------------------
-# Epoch shuffle/shard indices
-# ---------------------------------------------------------------------------
-
-
-def epoch_indices(n: int, global_batch: int, seed: int, epoch: int,
-                  process_index: int = 0, process_count: int = 1
-                  ) -> np.ndarray:
-    """(num_batches, local_batch) int64 indices for this host."""
-    lib = load_library()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
-    num_batches = n // global_batch
-    local = global_batch // process_count
-    out = np.empty((num_batches, local), np.int64)
-    lib.klab_epoch_indices(n, global_batch, seed, epoch, process_index,
-                           process_count,
-                           out.ctypes.data_as(ctypes.c_void_p))
-    return out
+# (A ctypes binding for a C++ epoch-shuffle generator used to live here;
+# excised together with its kernel: numpy's Generator.permutation is
+# already vectorized C, and a second RNG would change shuffle orders vs
+# the Python path for zero gain.)

@@ -59,17 +59,120 @@ def test_native_unigram_matches_python(tmp_path, rng):
     np.testing.assert_array_equal(mask, ref.attention_mask)
 
 
-def test_epoch_indices_shard_disjoint():
-    a = native.epoch_indices(64, 16, seed=3, epoch=1, process_index=0,
-                             process_count=2)
-    b = native.epoch_indices(64, 16, seed=3, epoch=1, process_index=1,
-                             process_count=2)
-    assert a.shape == (4, 8) and b.shape == (4, 8)
-    assert set(a.ravel()).isdisjoint(set(b.ravel()))
-    # deterministic per (seed, epoch); different across epochs
-    a2 = native.epoch_indices(64, 16, seed=3, epoch=1, process_index=0,
-                              process_count=2)
-    np.testing.assert_array_equal(a, a2)
-    a3 = native.epoch_indices(64, 16, seed=3, epoch=2, process_index=0,
-                              process_count=2)
-    assert not np.array_equal(a, a3)
+def _synthetic_spiece(tmp_path, charsmap: bytes) -> str:
+    """A tiny T5-layout spiece.model proto (what the reference's
+    AutoTokenizer loads, /root/reference/train.py:40) with a precompiled
+    charsmap, built via transformers' bundled pb2."""
+    pytest.importorskip("transformers")
+    from transformers.convert_slow_tokenizer import import_protobuf
+
+    spm_pb2 = import_protobuf()
+    m = spm_pb2.ModelProto()
+    m.trainer_spec.model_type = 1  # UNIGRAM
+    m.trainer_spec.unk_id = 2
+    m.trainer_spec.byte_fallback = False
+    m.normalizer_spec.precompiled_charsmap = charsmap
+
+    def piece(t, s, ty):
+        p = m.pieces.add()
+        p.piece, p.score, p.type = t, s, ty
+
+    C = spm_pb2.ModelProto.SentencePiece.CONTROL
+    N = spm_pb2.ModelProto.SentencePiece.NORMAL
+    U = spm_pb2.ModelProto.SentencePiece.UNKNOWN
+    piece("<pad>", 0.0, C)
+    piece("</s>", 0.0, C)
+    piece("<unk>", 0.0, U)
+    words = ["▁a", "▁b", "▁cat", "▁dog", "▁the", "▁fi", "▁le", "le", "▁1",
+             "/4", "1", "4", "▁A", "A", "a", "b", "c", "t", "d", "o", "g",
+             "e", "h", "i", "s", "▁", "file", "▁what", "▁does", "th",
+             "▁image", "▁describe", "?", "▁?", "."]
+    for i, w in enumerate(words):
+        piece(w, -1.0 - 0.1 * i, N)
+    path = str(tmp_path / "spiece.model")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    return path
+
+
+def test_native_chain_matches_python_on_spiece(tmp_path):
+    """The C++ core's FULL chain — precompiled charsmap (darts trie),
+    right-strip, multi-space collapse, metaspace, raw-text sentinel
+    extraction, per-codepoint unk + fuse_unk — is token-exact vs the
+    production Python path (UnigramTokenizer over the same spiece proto,
+    i.e. HF's exact T5 normalizer chain, text/tokenizer.py:199-208)."""
+    from klab_multimodalmodel_tpu.text.charsmap import build_charsmap
+    from klab_multimodalmodel_tpu.text.tokenizer import UnigramTokenizer
+
+    charsmap = build_charsmap({
+        "Ａ": "A", "①": "1", "　": " ", "ﬁ": "fi", "¼": " 1/4", "é": "e"})
+    path = _synthetic_spiece(tmp_path, charsmap)
+    pytok = UnigramTokenizer(path)
+    enc = native.NativeUnigramEncoder(path)
+
+    corpus = [
+        # plain text incl. the reference's typo'd prompt
+        "a cat", "the dog .", "What does th image describe ?",
+        # charsmap normalization (fullwidth, ligature, ideographic space)
+        "Ａ cat", "x①y", "a　b", "ﬁle", "¼ cup", "cafés", "héllo", "éx",
+        # whitespace: multi-space collapse, strip-right, tabs/newlines
+        "a  b", "  a", "a ", "", " ", "a\tb", "a\nb", "tab\t",
+        # unknown codepoints: fuse_unk, leading/trailing
+        "ZZZ", "aZZb", "Z",
+        # sentinels extracted from raw text (span-corruption path)
+        "<extra_id_0> cat", "a <extra_id_0> b <extra_id_1>",
+        "a<extra_id_0>b", "the cat <extra_id_0>", "dog  <extra_id_1>  cat",
+        # literal metaspace char in input
+        "▁x", "th e",
+    ]
+    ids, mask = enc.encode_batch(corpus, max_len=24,
+                                 pad_id=pytok.pad_id, eos_id=pytok.eos_id)
+    ref = pytok(corpus, max_length=24)
+    np.testing.assert_array_equal(ids, ref.input_ids)
+    np.testing.assert_array_equal(mask, ref.attention_mask)
+
+
+def test_charsmap_builder_accepted_by_hf():
+    """build_charsmap emits blobs HF's Rust Precompiled normalizer parses
+    and applies with the expected per-grapheme semantics (incl. the darts
+    exclusive-base invariant: no false transitions between sibling sets)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from klab_multimodalmodel_tpu.text.charsmap import (build_charsmap,
+                                                        parse_charsmap)
+
+    mapping = {"A": "q", "AB": "ab", "é": "e", "①": "1"}
+    blob = build_charsmap(mapping)
+    cm = parse_charsmap(blob)
+    assert cm.longest_prefix(b"ABC") == (2, b"ab")  # darts longest
+    assert cm.longest_prefix(b"zz") is None
+    n = tokenizers.normalizers.Precompiled(blob)
+    assert n.normalize_str("A") == "q"
+    # per-grapheme: 'A' then 'B' — the multi-grapheme "AB" entry never
+    # applies, and 'B' must NOT falsely match through a shared base
+    assert n.normalize_str("AB") == "qB"
+    assert n.normalize_str("B") == "B"
+    assert n.normalize_str("x①é") == "x1e"
+
+
+def test_native_tokenizer_in_dataloader(tmp_path):
+    """--native_tokenizer end to end: a DataLoader with the native encoder
+    yields byte-identical batches to the Python-tokenizer loader."""
+    from klab_multimodalmodel_tpu.data import (DataLoader,
+                                               SyntheticCaptionDataset)
+    from klab_multimodalmodel_tpu.text.tokenizer import UnigramTokenizer
+
+    path = _synthetic_spiece(tmp_path, b"")
+    pytok = UnigramTokenizer(path)
+    enc = native.NativeUnigramEncoder(path)
+    ds = SyntheticCaptionDataset(n=16, image_size=32)
+
+    def batches(native_encoder):
+        dl = DataLoader(ds, pytok, global_batch_size=8,
+                        max_source_length=24, max_target_length=16, seed=0,
+                        native_encoder=native_encoder)
+        dl.set_epoch(1)
+        return list(dl)
+
+    for a, b in zip(batches(None), batches(enc)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
