@@ -1,4 +1,4 @@
-"""Caption quality metrics: CIDEr-D and BLEU.
+"""Caption quality metrics: CIDEr-D and BLEU, with PTB tokenization.
 
 The reference has no quantitative evaluation at all (SURVEY.md §4 — only a
 val-loss loop and one qualitative notebook sample); BASELINE.md's quality
@@ -6,6 +6,16 @@ target is "CIDEr on MSCOCO val within 1%", so the framework ships the metric.
 CIDEr-D follows the official pycocoevalcap ``cider_scorer.py`` algorithm
 (tf-idf weighted n-gram cosine with the sigma=6 length gaussian, scores
 x10); BLEU is standard corpus BLEU-4 with brevity penalty.
+
+Tokenization defaults to ``ptb_tokenize`` — a faithful port of what
+pycocoevalcap's ``PTBTokenizer`` does (Stanford PTBTokenizer via Java with
+``-preserveLines -lowerCase``, then removal of its ``PUNCTUATIONS`` token
+list): the Penn-Treebank sed-script rules (contraction splitting, quote
+normalization to \\`\\`/'', -LRB-/-RRB- bracket forms, final-period and
+ellipsis handling), lowercased, with the official punctuation tokens
+dropped. Scores computed here therefore use the same token streams as any
+externally published COCO-caption number. ``simple_tokenize`` remains as a
+dependency-free fallback.
 """
 
 from __future__ import annotations
@@ -20,8 +30,80 @@ _PUNCT = re.compile(r"[^\w\s]")
 
 def simple_tokenize(text: str) -> List[str]:
     """Lowercase, strip punctuation, whitespace split (a light stand-in for
-    the PTB tokenizer used by the official COCO eval)."""
+    the PTB tokenizer; not used by the official-semantics default)."""
     return _PUNCT.sub("", text.lower()).split()
+
+
+# ---------------------------------------------------------------------------
+# Penn Treebank tokenizer (the sed-script rule set Stanford's PTBTokenizer
+# implements; identical rule order to the canonical public port)
+# ---------------------------------------------------------------------------
+
+_STARTING_QUOTES = [
+    (re.compile(r"^\""), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+]
+_PUNCTUATION_RULES = [
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    # final period (keeps abbreviation-internal periods like "U.S." intact)
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+]
+_CONVERT_PARENTHESES = [
+    (re.compile(r"\("), " -LRB- "), (re.compile(r"\)"), " -RRB- "),
+    (re.compile(r"\["), " -LSB- "), (re.compile(r"\]"), " -RSB- "),
+    (re.compile(r"\{"), " -LCB- "), (re.compile(r"\}"), " -RCB- "),
+]
+_DOUBLE_DASHES = (re.compile(r"--"), r" -- ")
+_ENDING_QUOTES = [
+    (re.compile(r'"'), " '' "),
+    (re.compile(r"(\S)(\'\')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_CONTRACTIONS2 = [re.compile(p) for p in (
+    r"(?i)\b(can)(not)\b", r"(?i)\b(d)('ye)\b", r"(?i)\b(gim)(me)\b",
+    r"(?i)\b(gon)(na)\b", r"(?i)\b(got)(ta)\b", r"(?i)\b(lem)(me)\b",
+    r"(?i)\b(mor)('n)\b", r"(?i)\b(wan)(na)(?=\s)")]
+_CONTRACTIONS3 = [re.compile(p) for p in (
+    r"(?i) ('t)(is)\b", r"(?i) ('t)(was)\b")]
+
+# pycocoevalcap tokenizer.py PUNCTUATIONS — tokens the official COCO eval
+# drops after PTB tokenization (note: -LSB-/-RSB- are deliberately absent
+# there, so they are kept here too).
+PTB_PUNCTUATIONS = frozenset([
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";"])
+
+
+def _treebank_tokens(text: str) -> List[str]:
+    for regexp, substitution in _STARTING_QUOTES:
+        text = regexp.sub(substitution, text)
+    for regexp, substitution in _PUNCTUATION_RULES:
+        text = regexp.sub(substitution, text)
+    for regexp, substitution in _CONVERT_PARENTHESES:
+        text = regexp.sub(substitution, text)
+    text = _DOUBLE_DASHES[0].sub(_DOUBLE_DASHES[1], text)
+    text = " " + text + " "
+    for regexp, substitution in _ENDING_QUOTES:
+        text = regexp.sub(substitution, text)
+    for regexp in _CONTRACTIONS2:
+        text = regexp.sub(r" \1 \2 ", text)
+    for regexp in _CONTRACTIONS3:
+        text = regexp.sub(r" \1 \2 ", text)
+    return text.split()
+
+
+def ptb_tokenize(text: str) -> List[str]:
+    """Official COCO-eval tokenization: PTB rules, lowercase, punctuation
+    tokens removed (pycocoevalcap ``PTBTokenizer.tokenize`` semantics)."""
+    return [t.lower() for t in _treebank_tokens(text)
+            if t not in PTB_PUNCTUATIONS]
 
 
 def _ngrams(tokens: Sequence[str], max_n: int = 4) -> Counter:
@@ -35,16 +117,18 @@ def _ngrams(tokens: Sequence[str], max_n: int = 4) -> Counter:
 class CiderScorer:
     """CIDEr-D over a corpus of (candidate, [references])."""
 
-    def __init__(self, max_n: int = 4, sigma: float = 6.0):
+    def __init__(self, max_n: int = 4, sigma: float = 6.0,
+                 tokenizer=ptb_tokenize):
         self.max_n = max_n
         self.sigma = sigma
+        self.tokenizer = tokenizer
 
     def compute(self, candidates: Sequence[str],
                 references: Sequence[Sequence[str]]) -> float:
         assert len(candidates) == len(references)
-        cand_counts = [_ngrams(simple_tokenize(c), self.max_n)
-                       for c in candidates]
-        ref_counts = [[_ngrams(simple_tokenize(r), self.max_n) for r in refs]
+        tok = self.tokenizer
+        cand_counts = [_ngrams(tok(c), self.max_n) for c in candidates]
+        ref_counts = [[_ngrams(tok(r), self.max_n) for r in refs]
                       for refs in references]
 
         # document frequency over reference sets
@@ -89,20 +173,21 @@ class CiderScorer:
 
 
 def cider_d(candidates: Sequence[str],
-            references: Sequence[Sequence[str]]) -> float:
-    return CiderScorer().compute(candidates, references)
+            references: Sequence[Sequence[str]],
+            tokenizer=ptb_tokenize) -> float:
+    return CiderScorer(tokenizer=tokenizer).compute(candidates, references)
 
 
 def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
-         max_n: int = 4) -> float:
+         max_n: int = 4, tokenizer=ptb_tokenize) -> float:
     """Corpus BLEU-N with brevity penalty (uniform weights)."""
     clipped = [0] * max_n
     totals = [0] * max_n
     cand_len = 0
     ref_len = 0
     for cand, refs in zip(candidates, references):
-        c_toks = simple_tokenize(cand)
-        r_toks = [simple_tokenize(r) for r in refs]
+        c_toks = tokenizer(cand)
+        r_toks = [tokenizer(r) for r in refs]
         cand_len += len(c_toks)
         # closest reference length
         ref_len += min((abs(len(r) - len(c_toks)), len(r))

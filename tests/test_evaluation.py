@@ -5,12 +5,64 @@ import json
 import numpy as np
 import pytest
 
-from klab_multimodalmodel_tpu.evaluation import bleu, cider_d, simple_tokenize
+from klab_multimodalmodel_tpu.evaluation import (bleu, cider_d, ptb_tokenize,
+                                                 simple_tokenize)
 
 
 def test_tokenize():
     assert simple_tokenize("A man, with a RED helmet!") == [
         "a", "man", "with", "a", "red", "helmet"]
+
+
+def test_ptb_tokenize_official_semantics():
+    """Canonical PTB behaviors + the pycocoevalcap punctuation removal:
+    contractions split (so "man's" scores as `man 's`, not `mans`),
+    possessives kept, punctuation tokens dropped, brackets normalized to
+    -LRB-/-RRB- and removed per the official list."""
+    assert ptb_tokenize("A man's dog.") == ["a", "man", "'s", "dog"]
+    assert ptb_tokenize("They'll save and invest more.") == [
+        "they", "'ll", "save", "and", "invest", "more"]
+    assert ptb_tokenize("I can't swim; he cannot either!") == [
+        "i", "ca", "n't", "swim", "he", "can", "not", "either"]
+    assert ptb_tokenize("Good muffins cost $3.88 in New York.") == [
+        "good", "muffins", "cost", "$", "3.88", "in", "new", "york"]
+    # -LRB-/-RRB- are in the official removal list; U.S. keeps its periods
+    assert ptb_tokenize('He said, "hi (there)" to the U.S. crowd...') == [
+        "he", "said", "hi", "there", "to", "the", "u.s.", "crowd"]
+    assert ptb_tokenize("a red--blue sign: nice?") == [
+        "a", "red", "blue", "sign", "nice"]
+
+
+def test_ptb_rules_match_nltk_treebank():
+    """The rule set is the canonical Treebank sed-script port — cross-check
+    the raw tokenization (before lowercase/punct removal) against NLTK's
+    TreebankWordTokenizer on caption-like text."""
+    nltk = pytest.importorskip("nltk")
+    from klab_multimodalmodel_tpu.evaluation.metrics import _treebank_tokens
+
+    tk = nltk.tokenize.TreebankWordTokenizer()
+    corpus = [
+        "A man with a red helmet on a small moped on a dirt road.",
+        "They'll save and invest more.",
+        "hi, my name can't hello,",
+        'He said, "There is a cat." Really?',
+        "Good muffins cost $3.88 in New York.",
+        "two dogs -- one black, one white -- run; they're fast!",
+        "the dog's bone (a big one) ...",
+    ]
+    for text in corpus:
+        assert _treebank_tokens(text) == tk.tokenize(
+            text, convert_parentheses=True), text
+
+
+def test_cider_identical_candidate_scores_exactly_ten():
+    """Worked-example golden: with every candidate equal to its single
+    reference and disjoint vocab across images, every n-gram cosine is 1,
+    the length gaussian is e^0, and CIDEr-D = 10 exactly."""
+    refs = [["a dog jumps over the fence"],
+            ["red boats float in the calm harbor"]]
+    cands = [r[0] for r in refs]
+    assert cider_d(cands, refs) == pytest.approx(10.0, abs=1e-9)
 
 
 def test_cider_perfect_match_scores_high():
