@@ -61,14 +61,26 @@ class CheckpointManager:
     # -- save --------------------------------------------------------------
     def save(self, name: str, state: Any,
              metadata: Optional[dict] = None) -> str:
+        """ASYNC save (SURVEY.md §5 failure-recovery row): device arrays are
+        snapshotted to host, then serialization proceeds in background
+        threads while training continues — the train loop only pays the
+        device->host copy, not the disk write (measured stall removal in
+        BASELINE.md). At most one save is in flight: a new save (or
+        restore/exit) first drains the previous one. Orbax commits via
+        atomic rename, so ``latest()`` never sees a partial checkpoint.
+        """
+        self.wait()  # serialize saves; orbax allows one in flight
         path = self.path(name)
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
         if metadata is not None and jax.process_index() == 0:
             with open(os.path.join(self.base, f"{name}.meta.json"),
                       "w") as f:
                 json.dump(metadata, f)
         return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable on disk."""
+        self._ckptr.wait_until_finished()
 
     # -- restore -----------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -78,6 +90,7 @@ class CheckpointManager:
         """Restore into the structure/shardings of ``target`` (a concrete
         state from ``Trainer.init_state`` or an abstract ShapeDtypeStruct
         tree with shardings)."""
+        self.wait()  # the named checkpoint may still be in flight
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         return self._ckptr.restore(self.path(name), abstract)
 

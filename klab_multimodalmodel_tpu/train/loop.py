@@ -260,6 +260,7 @@ def train(config: Config,
         }
 
     def finish(summary_extra: dict) -> dict:
+        ckpt.wait()  # drain any in-flight async save before returning
         prof.close()
         tb.close()
         if prev_sigterm is not None:

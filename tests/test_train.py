@@ -627,3 +627,28 @@ def test_skip_image_decode_when_fully_cached(tmp_path, monkeypatch):
                                out_ref["losses"]["train"], rtol=1e-6)
     np.testing.assert_allclose(out["losses"]["val"],
                                out_ref["losses"]["val"], rtol=1e-6)
+
+
+def test_async_checkpoint_survives_donation(tmp_path):
+    """checkpoint saves are ASYNC (io.py): control returns before the write
+    is durable, and the train loop immediately donates the state buffers to
+    the next step. Orbax must have snapshotted the values — the restored
+    checkpoint equals the pre-save state bit-for-bit."""
+    cfg = micro_config(tmp_path)
+    mesh = make_mesh((-1, 1, 1))
+    trainer = Trainer(cfg, mesh, num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+    batch = trainer.device_put_batch(
+        {k: v for k, v in trainer.example_batch(8).items()})
+    from klab_multimodalmodel_tpu.checkpoint.io import CheckpointManager
+    ck = CheckpointManager(cfg.result_dir)
+
+    snapshot = jax.device_get(state.params)
+    ck.save("step_1", state, {"steps": 1})
+    # donate the just-saved buffers before the async write finishes
+    state2, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    ck.wait()
+    restored = ck.restore("step_1", state2)
+    for a, b in zip(jax.tree.leaves(snapshot),
+                    jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
