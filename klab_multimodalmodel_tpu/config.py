@@ -261,6 +261,11 @@ class Config:
     tensorboard: bool = False
     # Data pipeline
     num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
+    # Decode workers: 'thread' (PIL releases the GIL for jpeg decode) or
+    # 'process' (fork()ed workers, the torch num_workers equivalent —
+    # loader.py:88) for loads where per-sample Python work would serialize
+    # on the GIL. Measured scaling in BASELINE.md (tools/bench_pipeline.py).
+    decode_workers: str = "thread"
     prefetch_batches: int = 2
     log_every_steps: int = 50
     # Generation defaults — HF GenerationConfig defaults the reference
@@ -421,6 +426,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--init_checkpoint", type=str,
                         default=d.init_checkpoint)
     parser.add_argument("--num_workers", type=int, default=d.num_workers)
+    parser.add_argument("--decode_workers", type=str,
+                        default=d.decode_workers,
+                        choices=["thread", "process"])
     parser.add_argument("--accumulation_tail", type=str,
                         default=d.accumulation_tail,
                         choices=["pad", "drop", "error"])

@@ -20,16 +20,31 @@ on-device (``image_ops``) — plus source/target ids and masks, int32 (B,L).
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
 
 from ..text.tokenizer import TokenizerBase
 from .datasets import DatasetBase
+
+# -- decode-worker process plumbing (worker_mode="process") -----------------
+# The dataset is shipped once per worker via the pool initializer (fork),
+# not re-pickled per batch; workers only run PIL decode + resize, never jax.
+_WORKER_DATASET = None
+
+
+def _init_decode_worker(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _decode_worker_getitem(i: int):
+    return _WORKER_DATASET[i]
 
 
 class Batch(dict):
@@ -45,7 +60,7 @@ class DataLoader:
                  seed: int = 0, drop_last: bool = True,
                  num_workers: int | None = None, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 native_encoder=None):
+                 native_encoder=None, worker_mode: str = "thread"):
         if global_batch_size % process_count != 0:
             raise ValueError(
                 f"global batch {global_batch_size} % hosts {process_count}")
@@ -59,6 +74,15 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers or max((os.cpu_count() or 4) // 4, 1)
+        # "thread" (default): ThreadPoolExecutor — PIL releases the GIL for
+        # jpeg decode, so threads scale for decode-bound loads. "process":
+        # fork()ed decode workers (the torch num_workers equivalent,
+        # /root/reference/modules/loader.py:88) — full-core scaling when
+        # per-sample Python work (span corruption, transforms) would
+        # otherwise serialize on the GIL.
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
@@ -107,8 +131,20 @@ class DataLoader:
         enc = self.tokenizer(texts, max_length=max_length)
         return enc.input_ids, enc.attention_mask
 
-    def _assemble(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Batch:
-        items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            return ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_decode_worker,
+                initargs=(self.dataset,))
+        return ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _assemble(self, idxs: np.ndarray, pool) -> Batch:
+        if self.worker_mode == "process":
+            items = list(pool.map(_decode_worker_getitem, idxs.tolist()))
+        else:
+            items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))
         images = np.stack([it[0] for it in items])
         src_ids, src_mask = self._encode([it[1] for it in items],
                                          self.max_source_length)
@@ -129,7 +165,7 @@ class DataLoader:
         mid-epoch resume (preemption checkpoints) replays the tail of the
         deterministic epoch order without decoding the consumed prefix."""
         batches = self.epoch_indices()[start_batch:]
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool = self._make_pool()
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
 
@@ -193,4 +229,5 @@ def get_dataloader(config, phase: str, tokenizer: TokenizerBase,
         prefetch=config.prefetch_batches,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
-        native_encoder=native_encoder)
+        native_encoder=native_encoder,
+        worker_mode=config.decode_workers)

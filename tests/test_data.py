@@ -152,3 +152,23 @@ def test_normalize_images_device_op():
     expected_q = (1.0 / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array(
         [0.229, 0.224, 0.225])
     np.testing.assert_allclose(out_q[0, 0, 0], expected_q, rtol=1e-5)
+
+
+def test_process_decode_workers_match_threads():
+    """worker_mode='process' (fork decode workers, the torch num_workers
+    equivalent) yields byte-identical batches to the thread pool."""
+    from klab_multimodalmodel_tpu.data import DataLoader, SyntheticCaptionDataset
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    ds = SyntheticCaptionDataset(n=16, image_size=32)
+
+    def batches(mode):
+        dl = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                        max_source_length=24, max_target_length=16,
+                        seed=0, num_workers=2, worker_mode=mode)
+        dl.set_epoch(1)
+        return list(dl)
+
+    for a, b in zip(batches("thread"), batches("process")):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -195,6 +195,47 @@ def test_frozen_feature_cache_unit(tmp_path):
     assert not cache4.has(np.array([0, 3]))
 
 
+def test_frozen_feature_cache_dtype_change_invalidates(tmp_path):
+    """A resumed run whose compute_dtype changed must not serve stale
+    features: the dtype is part of the cache metadata, so a mismatch
+    recreates the cache from scratch."""
+    from klab_multimodalmodel_tpu.train import FrozenFeatureCache
+    path = str(tmp_path / "c" / "train.feat")
+    cache = FrozenFeatureCache(path, 4, (2, 3), dtype="float32")
+    cache.put(np.array([0, 1]), np.ones((2, 2, 3), np.float32))
+    cache.flush()
+    re_f32 = FrozenFeatureCache(path, 4, (2, 3), dtype="float32")
+    assert re_f32.has(np.array([0, 1]))  # same dtype: kept
+    re_bf16 = FrozenFeatureCache(path, 4, (2, 3), dtype="bfloat16")
+    assert not re_bf16.has(np.array([0, 1]))  # dtype change: invalidated
+
+
+def test_frozen_feature_cache_crash_before_flush_serves_nothing(tmp_path):
+    """A crash between put() and flush() must not let a restarted run read
+    zeros (or partial data) as 'filled': the fill mask is only persisted at
+    flush, strictly AFTER the data flush."""
+    from klab_multimodalmodel_tpu.train import FrozenFeatureCache
+    path = str(tmp_path / "c" / "train.feat")
+    cache = FrozenFeatureCache(path, 8, (2, 2), dtype="float32")
+    cache.put(np.arange(4), np.ones((4, 2, 2), np.float32))
+    assert cache.has(np.arange(4))
+    del cache  # crash: no flush — in-memory mask lost
+    restarted = FrozenFeatureCache(path, 8, (2, 2), dtype="float32")
+    assert not restarted.has(np.array([0]))  # nothing served as filled
+
+    # half-filled + flushed, then crash after MORE un-flushed puts: only
+    # the flushed rows are served on restart
+    restarted.put(np.array([0, 1]), np.full((2, 2, 2), 7, np.float32))
+    restarted.flush()
+    restarted.put(np.array([2, 3]), np.full((2, 2, 2), 9, np.float32))
+    del restarted  # crash before second flush
+    again = FrozenFeatureCache(path, 8, (2, 2), dtype="float32")
+    assert again.has(np.array([0, 1]))
+    assert not again.has(np.array([2]))
+    np.testing.assert_array_equal(again.get(np.array([0]))[0],
+                                  np.full((2, 2), 7, np.float32))
+
+
 def test_cached_features_training_equivalence(tmp_path):
     """cache_frozen_features must not change training: same seed, same data
     -> same per-epoch losses as the uncached run (epoch 1 fills the cache,
