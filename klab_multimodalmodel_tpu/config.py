@@ -261,6 +261,16 @@ class Config:
     tensorboard: bool = False
     # Data pipeline
     num_workers: int = 0  # 0 = os.cpu_count() // 4, mirroring loader.py:88
+    # Bucketed dynamic padding: trim each update group's source/target
+    # padding to the smallest power-of-two bucket >= its longest real row
+    # (floors 16/8, capped at max_*_length). The TPU-static-shape
+    # equivalent of the reference's padding='longest' (quirk #4,
+    # /root/reference/train.py:56): one cached XLA program per bucket, and
+    # the default parity recipe stops paying 256-column attention over
+    # ~10-token caption prompts. Loss-identical (pads are masked out of
+    # attention and loss; equivalence pinned by test_train.py). Not
+    # compatible with reference_pad_quirks (pads IN the loss there).
+    bucket_lengths: bool = False
     # Decode workers: 'thread' (PIL releases the GIL for jpeg decode) or
     # 'process' (fork()ed workers, the torch num_workers equivalent —
     # loader.py:88) for loads where per-sample Python work would serialize
@@ -291,6 +301,11 @@ class Config:
         if self.accumulation_tail not in ("pad", "drop", "error"):
             raise ValueError(
                 f"unknown accumulation_tail {self.accumulation_tail!r}")
+        if self.bucket_lengths and self.reference_pad_quirks:
+            raise ValueError(
+                "bucket_lengths trims pad columns, but reference_pad_quirks "
+                "keeps every position in the loss — the combination cannot "
+                "be bit-exact; drop one of the flags")
         if self.cache_frozen_features and self.image_model_train:
             raise ValueError(
                 "cache_frozen_features requires a frozen vision tower "
@@ -429,6 +444,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--decode_workers", type=str,
                         default=d.decode_workers,
                         choices=["thread", "process"])
+    parser.add_argument("--bucket_lengths", action="store_true")
     parser.add_argument("--accumulation_tail", type=str,
                         default=d.accumulation_tail,
                         choices=["pad", "drop", "error"])

@@ -180,8 +180,34 @@ def train(config: Config,
         if "lang" in caches:
             if not caches["lang"].has(index):
                 return None
-            fb["language_features"] = caches["lang"].get(index)
+            # cache stores full max_source_length rows; follow the batch's
+            # (possibly bucketed) source width
+            fb["language_features"] = (
+                caches["lang"].get(index)[:, :fb["source_mask"].shape[1]])
         return fb
+
+    def bucket_batch(batch):
+        """Trim source/target pad columns to the smallest power-of-two
+        bucket >= the longest real row (bucket_lengths; the static-shape
+        'longest' padding of /root/reference/train.py:56 — one cached XLA
+        program per bucket, loss-identical since pads are masked out)."""
+        if not config.bucket_lengths:
+            return batch
+
+        def width(mask, lo):
+            longest = int(mask.sum(axis=1).max())
+            b = lo
+            while b < longest:
+                b *= 2
+            return min(b, mask.shape[1])
+
+        sb = width(batch["source_mask"], 16)
+        tb = width(batch["target_mask"], 8)
+        out = dict(batch)
+        for k, b in (("source_ids", sb), ("source_mask", sb),
+                     ("target_ids", tb), ("target_mask", tb)):
+            out[k] = np.ascontiguousarray(batch[k][:, :b])
+        return type(batch)(out) if isinstance(batch, dict) else out
 
     def cache_fill(caches, index, feats):
         # index holds THIS host's dataset rows; fetch only this host's
@@ -190,7 +216,15 @@ def train(config: Config,
         img_feats, lang_feats = feats
         caches["img"].put(index, trainer.host_local_rows(img_feats))
         if "lang" in caches:
-            caches["lang"].put(index, trainer.host_local_rows(lang_feats))
+            rows = trainer.host_local_rows(lang_feats)
+            full = caches["lang"].feature_shape[0]
+            if rows.shape[1] < full:
+                # bucket_lengths trimmed pad columns; store zeros there —
+                # pad positions are masked out of every attention read, so
+                # zeros are exactly equivalent to the recomputed values
+                rows = np.pad(rows,
+                              ((0, 0), (0, full - rows.shape[1]), (0, 0)))
+            caches["lang"].put(index, rows)
 
     # Fill writebacks are deferred by one step: jax dispatch is async, so
     # draining the PREVIOUS step's features after dispatching the next step
@@ -285,6 +319,7 @@ def train(config: Config,
         def run_update(merged, n_real_images):
             nonlocal state, dropout_rng, steps, images_seen
             prof.tick()
+            merged = bucket_batch(merged)
             index = merged.pop("index", None)
             dropout_rng, step_rng = jax.random.split(dropout_rng)
 
@@ -372,6 +407,7 @@ def train(config: Config,
 
         set_skip_image_load(val_cache, val_loader)
         for batch in val_loader:
+            batch = bucket_batch(batch)
             index = batch.pop("index", None)
             loss = step_with_cache(
                 val_cache, batch, index,

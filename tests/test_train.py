@@ -693,3 +693,38 @@ def test_async_checkpoint_survives_donation(tmp_path):
     for a, b in zip(jax.tree.leaves(snapshot),
                     jax.tree.leaves(jax.device_get(restored.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucket_lengths_loss_equivalence(tmp_path):
+    """--bucket_lengths (power-of-two trim of pad columns, the static-shape
+    'longest' padding of train.py:56) must not change training: pads are
+    masked out of attention and loss, so per-epoch losses match the
+    full-padding run exactly; the frozen-feature cache stays equivalent
+    too (zero-padded cached language features are mask-equivalent)."""
+    losses = {}
+    for tag, kw in (
+            ("full", {}),
+            ("bucketed", {"bucket_lengths": True}),
+            ("bucketed_cached", {"bucket_lengths": True,
+                                 "cache_frozen_features": True})):
+        cfg = micro_config(tmp_path / tag, num_epochs=2,
+                           max_source_length=48, max_target_length=24, **kw)
+        loader = _make_loader(cfg, n=16)
+        val_loader = _make_loader(cfg, n=8)
+        out = train(cfg, train_loader=loader, val_loader=val_loader,
+                    resume=False)
+        losses[tag] = (out["losses"]["train"], out["losses"]["val"])
+    np.testing.assert_allclose(losses["full"][0], losses["bucketed"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(losses["full"][1], losses["bucketed"][1],
+                               rtol=1e-6)
+    np.testing.assert_allclose(losses["bucketed"][0],
+                               losses["bucketed_cached"][0], rtol=1e-6)
+    np.testing.assert_allclose(losses["bucketed"][1],
+                               losses["bucketed_cached"][1], rtol=1e-6)
+
+
+def test_bucket_lengths_rejects_pad_quirks(tmp_path):
+    with pytest.raises(ValueError):
+        micro_config(tmp_path, bucket_lengths=True,
+                     reference_pad_quirks=True)

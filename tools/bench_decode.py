@@ -108,6 +108,34 @@ def main() -> None:
         out[f"{label}_p90_ms"] = round(lat_ms[int(len(lat_ms) * 0.9)], 2)
     print(json.dumps(out))
 
+    # Batched decode THROUGHPUT — what sizes the full-val CIDEr run
+    # (evaluation/evaluate.py greedy-decodes val2017 ~5k images batch-32):
+    # img/s here x 5000 predicts its wall-clock.
+    out_b = {"metric": "batched greedy decode throughput (max_length 20)",
+             "unit": "images/sec"}
+    for B in (8, 32):
+        bimg = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3),
+                                        dtype=np.uint8))
+        bsrc = jnp.broadcast_to(src, (B, src.shape[1]))
+        bmask = jnp.ones((B, src.shape[1]), jnp.int32)
+
+        def caption_batch():
+            enc, enc_mask = encode(params, bimg, bsrc, bmask)
+            return np.asarray(greedy_decode(
+                t5, params["transformer"], enc, enc_mask,
+                cfg.generate_max_length))
+
+        caption_batch()  # compile
+        n_rep = 10
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            caption_batch()
+        dt = time.perf_counter() - t0
+        out_b[f"batch{B}_img_s"] = round(B * n_rep / dt, 1)
+    out_b["val2017_predicted_minutes"] = round(
+        5000 / out_b["batch32_img_s"] / 60, 1)
+    print(json.dumps(out_b))
+
 
 if __name__ == "__main__":
     main()
