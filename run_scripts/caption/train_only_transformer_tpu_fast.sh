@@ -20,6 +20,7 @@ python train.py \
     --swin_gelu_approximate \
     --frozen_param_dtype bfloat16 \
     --cache_frozen_features \
+    --bucket_lengths \
     --init_checkpoint results/pretrained/ \
     --tokenizer_path results/pretrained/tokenizer.json \
     --data_dir /user/data/mscoco2017/ \

@@ -14,6 +14,7 @@ python train.py \
     --swin_gelu_approximate \
     --frozen_param_dtype bfloat16 \
     --cache_frozen_features \
+    --bucket_lengths \
     --init_checkpoint results/pretrained/ \
     --tokenizer_path results/pretrained/spiece.model \
     --data_dir /user/data/redcaps/ \
