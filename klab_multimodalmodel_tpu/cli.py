@@ -1,7 +1,11 @@
-"""Installed console entry point (``klab-train``) — same surface as the
-repo-root ``train.py`` (flag-compatible with the reference's
-``/root/reference/train.py:108-109``), available after ``pip install``
+"""Installed console entry points — available after ``pip install``
 without a checkout.
+
+``klab-train``: same surface as the repo-root ``train.py`` (flag-compatible
+with the reference's ``/root/reference/train.py:108-109``).
+``klab-eval``: CIDEr-D / BLEU-4 caption evaluation of a trained run over
+COCO val (fills the reference's evaluation gap — it only eyeballs one
+caption in ``visualization.ipynb`` cell 8).
 """
 
 from __future__ import annotations
@@ -12,6 +16,43 @@ from .train import train
 
 def main() -> None:
     train(parse_arguments())
+
+
+def eval_main() -> None:
+    import argparse
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from .config import Config
+    from .evaluation import run
+    from .text import load_tokenizer
+
+    p = argparse.ArgumentParser(
+        description="CIDEr-D / BLEU-4 caption evaluation over COCO val "
+                    "(official PTB tokenization semantics)")
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--limit", type=int, default=None,
+                   help="evaluate only the first N images")
+    p.add_argument("--num_beams", type=int, default=None)
+    args = p.parse_args()
+
+    with open(os.path.join(args.result_dir, "config.json")) as f:
+        config = Config.from_json(f.read())
+    if args.data_dir:
+        config.data_dir = args.data_dir
+    if args.num_beams:
+        config.num_beams = args.num_beams
+    tokenizer = load_tokenizer(config.tokenizer_path)
+    ckpt_dir = os.path.join(os.path.abspath(args.result_dir),
+                            "checkpoints", args.checkpoint)
+    restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+    params = restored["params"] if "params" in restored else restored
+    metrics = run(config, params, tokenizer, limit=args.limit)
+    print(json.dumps(metrics, indent=2))
 
 
 if __name__ == "__main__":

@@ -176,3 +176,43 @@ def test_native_tokenizer_in_dataloader(tmp_path):
     for a, b in zip(batches(None), batches(enc)):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_native_tokenizer_end_to_end_train(tmp_path):
+    """--native_tokenizer through the REAL train() path (get_dataloader
+    builds the C++ encoder from config): losses bit-match the
+    Python-tokenizer run."""
+    from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
+                                                 register_swin_size,
+                                                 register_t5_size)
+    from klab_multimodalmodel_tpu.text import train_unigram_tokenizer
+    from klab_multimodalmodel_tpu.train import train
+
+    register_t5_size("t5-micro-nat", T5Size(
+        d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+        num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0))
+    register_swin_size("swin-micro-nat", SwinV2Size(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0)))
+
+    tok_path = str(tmp_path / "tok.json")
+    train_unigram_tokenizer(
+        ["a man rides a moped down the road",
+         "a dog jumps over the fence",
+         "What does th image describe ?"] * 40, tok_path, vocab_size=300)
+
+    losses = {}
+    for tag, nat in (("py", False), ("nat", True)):
+        cfg = Config(
+            language_model_name="t5-micro-nat",
+            transformer_model_name="t5-micro-nat",
+            image_model_name="swin-micro-nat",
+            max_source_length=16, max_target_length=16, batch_size=1,
+            num_epochs=1, compute_dtype="float32", scan_unroll=1,
+            data_dir="synthetic", tokenizer_path=tok_path,
+            native_tokenizer=nat, result_dir=str(tmp_path / tag))
+        out = train(cfg, resume=False)
+        losses[tag] = out["losses"]
+    assert losses["py"] == losses["nat"]
