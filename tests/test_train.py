@@ -728,3 +728,52 @@ def test_bucket_lengths_rejects_pad_quirks(tmp_path):
     with pytest.raises(ValueError):
         micro_config(tmp_path, bucket_lengths=True,
                      reference_pad_quirks=True)
+
+
+def test_sigterm_preemption_save_and_resume(tmp_path, monkeypatch):
+    """SIGTERM (what TPU preemption delivers) finishes the in-flight update,
+    saves a step_N preemption checkpoint, and the resumed run bit-matches
+    the uninterrupted one — driving the actual signal-handler path (the
+    halt_after_steps variant is covered separately)."""
+    import os
+    import signal as _signal
+
+    from klab_multimodalmodel_tpu.obs import profiler
+
+    def run(tag, sigterm_at):
+        cfg = micro_config(tmp_path, result_dir=str(tmp_path / tag),
+                           num_epochs=2,
+                           language_model_name="t5-micro-dropout",
+                           transformer_model_name="t5-micro-dropout")
+        loader = _make_loader(cfg, n=16)     # 2 update groups per epoch
+        val_loader = _make_loader(cfg, n=8)
+        calls = {"n": 0}
+        orig = profiler.StepWindowTrace.tick
+
+        def tick(self):
+            calls["n"] += 1
+            if calls["n"] == sigterm_at:
+                # same-thread kill: the handler runs at the next bytecode,
+                # i.e. BEFORE this update completes -> halt fires right
+                # after it, deterministically
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return orig(self)
+
+        if sigterm_at:
+            monkeypatch.setattr(profiler.StepWindowTrace, "tick", tick)
+        else:
+            monkeypatch.setattr(profiler.StepWindowTrace, "tick", orig)
+        return train(cfg, train_loader=loader, val_loader=val_loader,
+                     resume=True)
+
+    out_a = run("uninterrupted", 0)
+    out_b1 = run("sigterm", 3)          # killed mid-epoch-2
+    assert out_b1["halted"] and int(out_b1["steps"]) == 3
+    out_b2 = run("sigterm", 0)          # restart the same command
+    assert not out_b2["halted"]
+
+    pa = jax.device_get(out_a["state"].params)
+    pb = jax.device_get(out_b2["state"].params)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert out_a["losses"] == out_b2["losses"]
