@@ -244,6 +244,11 @@ class Config:
     # preemption / maintenance events deliver) after the in-flight
     # optimizer step completes.
     save_on_sigterm: bool = True
+    # Multi-process runs reach SIGTERM consensus (a tiny cross-host
+    # all-gather of the signal flag) every N optimizer steps, so ALL
+    # processes enter the collective preemption save together even when
+    # the signal lands on one host. Single-process runs halt immediately.
+    preempt_sync_steps: int = 10
     # Leftover microbatches when len(loader) % accumulation_steps != 0
     # (the reference runs a ragged final partial update, train.py:61-67):
     #   'pad'   - run the final partial update with zero-weight padding rows

@@ -268,20 +268,37 @@ def train(config: Config,
                 c.has(shard) for c in caches.values())
 
     # -- preemption / halt machinery ---------------------------------------
-    halt_flag = {"sig": False}
+    # "local": this process saw SIGTERM. "global": every process agreed to
+    # halt. Checkpoint saves are COLLECTIVE, so in multi-process runs a
+    # lone process must never enter preempt_save — consensus is reached by
+    # all-gathering the local flag every preempt_sync_steps updates (the
+    # signal may land on one host only). Single-process: local == global.
+    halt_flag = {"local": False, "global": False}
     prev_sigterm = None
     if config.save_on_sigterm:
         try:
             prev_sigterm = signal.signal(
                 signal.SIGTERM,
-                lambda *_: halt_flag.__setitem__("sig", True))
+                lambda *_: halt_flag.__setitem__("local", True))
         except ValueError:
             prev_sigterm = None  # not the main thread — opt out
 
+    def sync_halt_consensus() -> None:
+        if jax.process_count() == 1:
+            halt_flag["global"] = halt_flag["local"]
+            return
+        if steps % max(config.preempt_sync_steps, 1) == 0:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.array([1 if halt_flag["local"] else 0], np.int32))
+            halt_flag["global"] = bool(int(np.sum(flags)) > 0)
+
     def should_halt() -> bool:
+        sync_halt_consensus()
         return bool((config.halt_after_steps
                      and steps >= config.halt_after_steps)
-                    or halt_flag["sig"])
+                    or halt_flag["global"])
 
     def resume_state_meta() -> dict:
         """RNG + loss-partial fields added to EVERY checkpoint's metadata so

@@ -142,6 +142,27 @@ def test_multiprocess_preempt_resume_bitmatch(tmp_path):
 
 
 @pytest.mark.slow
+def test_multiprocess_sigterm_on_one_host_halts_all(tmp_path):
+    """SIGTERM landing on ONE process of a 2-process job: the consensus
+    sync (cross-host all-gather of the signal flag) makes BOTH processes
+    enter the collective preemption save together — no lone-process
+    deadlock — and the resumed job bit-matches the uninterrupted one."""
+    un = run_job(tmp_path, "uninterrupted", 2, 4, ["--num_epochs", "2"])
+
+    halted = run_job(tmp_path, "preempt", 2, 4,
+                     ["--num_epochs", "2", "--sigterm_at_tick", "2",
+                      "--sigterm_on_process", "0",
+                      "--preempt_sync_steps", "1"])
+    assert all(r["halted"] for r in halted)
+    assert halted[0]["steps"] == halted[1]["steps"] == 2
+    resumed = run_job(tmp_path, "preempt", 2, 4,
+                      ["--num_epochs", "2", "--resume"])
+    assert not resumed[0]["halted"]
+    assert resumed[0]["digests"] == un[0]["digests"]
+    assert resumed[0]["losses"] == un[0]["losses"]
+
+
+@pytest.mark.slow
 def test_multiprocess_feature_cache_and_pretrain(tmp_path):
     """Frozen-feature cache under multi-process (per-host fills, shard-local
     skip decision) stays bit-identical to the no-cache run; span-corruption

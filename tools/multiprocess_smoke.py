@@ -52,6 +52,12 @@ def parse_args(argv=None):
     p.add_argument("--save_interval", type=int, default=1)
     p.add_argument("--halt_after_steps", type=int, default=0,
                    help="simulate preemption: checkpoint+exit mid-run")
+    p.add_argument("--sigterm_at_tick", type=int, default=0,
+                   help="deliver SIGTERM to THIS process at update N "
+                        "(tests cross-process preemption consensus)")
+    p.add_argument("--sigterm_on_process", type=int, default=0,
+                   help="which process_id self-delivers the SIGTERM")
+    p.add_argument("--preempt_sync_steps", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cache_frozen_features", action="store_true")
     p.add_argument("--pretrain", action="store_true",
@@ -123,11 +129,30 @@ def main(argv=None):
         batch_size=1,  # per chip -> global batch = device_count
         num_epochs=args.num_epochs, save_interval=args.save_interval,
         halt_after_steps=args.halt_after_steps,
+        preempt_sync_steps=args.preempt_sync_steps,
         compute_dtype="float32",
         cache_frozen_features=args.cache_frozen_features,
         scan_unroll=1,
         data_dir="synthetic-pretrain" if args.pretrain else "synthetic",
         result_dir=args.result_dir)
+
+    if args.sigterm_at_tick and args.process_id == args.sigterm_on_process:
+        # Deterministic single-host SIGTERM: the other processes must join
+        # the collective preemption save via the consensus sync.
+        import signal as _signal
+
+        from klab_multimodalmodel_tpu.obs import profiler
+
+        orig_tick = profiler.StepWindowTrace.tick
+        calls = {"n": 0}
+
+        def tick(self):
+            calls["n"] += 1
+            if calls["n"] == args.sigterm_at_tick:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return orig_tick(self)
+
+        profiler.StepWindowTrace.tick = tick
 
     out = train(cfg, resume=args.resume)
 
