@@ -146,6 +146,11 @@ class Config:
     # "all remaining devices".
     mesh_shape: tuple[int, int, int] = (-1, 1, 1)
     mesh_axis_names: tuple[str, str, str] = ("data", "fsdp", "tensor")
+    # Multi-slice pods: per-axis DCN factors (mesh_shape becomes the
+    # PER-SLICE shape). E.g. (2, 1, 1) on two v5e-256 slices = data
+    # parallel across slices over DCN, fsdp/tensor inside each slice over
+    # ICI (utils/mesh.py:make_mesh). (1,1,1) = single slice.
+    dcn_mesh_shape: tuple[int, int, int] = (1, 1, 1)
     # Compute dtype policy: params fp32, activations bf16 (MXU-native).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -346,7 +351,7 @@ class Config:
         raw = json.loads(text)
         field_names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in field_names}
-        for key in ("mesh_shape", "mesh_axis_names"):
+        for key in ("mesh_shape", "mesh_axis_names", "dcn_mesh_shape"):
             if key in kwargs and isinstance(kwargs[key], list):
                 kwargs[key] = tuple(kwargs[key])
         return cls(**kwargs)
@@ -418,6 +423,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--mesh_shape", type=int, nargs=3, default=list(d.mesh_shape),
                         metavar=("DATA", "FSDP", "TENSOR"))
+    parser.add_argument("--dcn_mesh_shape", type=int, nargs=3,
+                        default=list(d.dcn_mesh_shape),
+                        metavar=("DATA", "FSDP", "TENSOR"))
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", type=str, default=d.remat,
@@ -469,4 +477,5 @@ def parse_arguments(argv: Sequence[str] | None = None) -> Config:
     ns = build_arg_parser().parse_args(argv)
     kwargs: dict[str, Any] = vars(ns)
     kwargs["mesh_shape"] = tuple(kwargs["mesh_shape"])
+    kwargs["dcn_mesh_shape"] = tuple(kwargs["dcn_mesh_shape"])
     return Config(**kwargs)

@@ -51,7 +51,8 @@ def train(config: Config,
         jax.config.update("jax_debug_nans", True)
     if config.debug_transfer_guard:
         jax.config.update("jax_transfer_guard", "disallow")
-    mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
+    mesh = make_mesh(config.mesh_shape, config.mesh_axis_names,
+                     dcn_mesh_shape=config.dcn_mesh_shape)
     is_main = jax.process_index() == 0
 
     logger = get_logger(config.result_dir)

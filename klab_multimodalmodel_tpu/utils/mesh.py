@@ -71,14 +71,41 @@ def resolve_mesh_shape(mesh_shape: Sequence[int],
 
 def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1),
               axis_names: Sequence[str] = ("data", "fsdp", "tensor"),
-              devices: Sequence[jax.Device] | None = None) -> Mesh:
+              devices: Sequence[jax.Device] | None = None,
+              dcn_mesh_shape: Sequence[int] | None = None) -> Mesh:
     """Create the global device mesh.
 
     Axes: ``data`` (pure DP — the reference's only strategy, SURVEY.md §2D),
     ``fsdp`` (parameter/optimizer sharding), ``tensor`` (megatron-style TP for
     t5-3b/11b geometries).
+
+    Multi-slice pods: pass ``dcn_mesh_shape`` (e.g. ``(n_slices, 1, 1)``)
+    with ``mesh_shape`` as the PER-SLICE shape. The hybrid mesh keeps each
+    slice's devices contiguous along the fast axes, so fsdp all-gathers and
+    tensor-parallel collectives ride ICI while only the data-axis gradient
+    all-reduce crosses DCN — the layout "How to Scale Your Model"
+    prescribes for data-parallel-across-slices. On CPU test rigs the slice
+    granule falls back to the process boundary, which is how
+    tests/test_multiprocess.py executes this path without a pod.
     """
     devices = list(devices) if devices is not None else jax.devices()
+    if dcn_mesh_shape is not None and any(
+            int(s) > 1 for s in dcn_mesh_shape):
+        dcn = tuple(int(s) for s in dcn_mesh_shape)
+        n_granules = int(np.prod(dcn))
+        if len(devices) % n_granules != 0:
+            raise ValueError(
+                f"dcn_mesh_shape {dcn} needs device count divisible by "
+                f"{n_granules}, got {len(devices)}")
+        per_slice = resolve_mesh_shape(mesh_shape,
+                                       len(devices) // n_granules)
+        device_array = mesh_utils.create_hybrid_device_mesh(
+            per_slice, dcn, devices=devices,
+            # real TPU slices carry slice_index; the CPU multi-process rig
+            # has one "slice" per OS process instead
+            process_is_granule=(devices[0].platform == "cpu"),
+            allow_split_physical_axes=True)
+        return Mesh(device_array, tuple(axis_names))
     shape = resolve_mesh_shape(mesh_shape, len(devices))
     device_array = mesh_utils.create_device_mesh(shape, devices=devices)
     return Mesh(device_array, tuple(axis_names))

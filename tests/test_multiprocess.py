@@ -142,6 +142,29 @@ def test_multiprocess_preempt_resume_bitmatch(tmp_path):
 
 
 @pytest.mark.slow
+def test_multiprocess_hybrid_dcn_mesh(tmp_path):
+    """--dcn_mesh_shape (multi-slice layout): data parallel across the
+    process/slice granule over the 'DCN' axis, per-slice devices on the
+    fast axes (utils/mesh.py hybrid mesh). Executed over 2 real processes;
+    coherent across processes and equal to the flat-mesh run."""
+    import numpy as np
+
+    flat = run_job(tmp_path, "flat", 2, 4, ["--num_epochs", "1"])
+    dcn = run_job(tmp_path, "dcn", 2, 4,
+                  ["--num_epochs", "1", "--dcn_data_parallel"])
+    assert dcn[0]["digests"] == dcn[1]["digests"]
+    np.testing.assert_allclose(dcn[0]["losses"]["train"],
+                               flat[0]["losses"]["train"], rtol=1e-6)
+    np.testing.assert_allclose(dcn[0]["losses"]["val"],
+                               flat[0]["losses"]["val"], rtol=1e-6)
+    a = np.load(dcn[0]["params_npz"])
+    b = np.load(flat[0]["params_npz"])
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], rtol=3e-6, atol=1e-7,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_multiprocess_sigterm_on_one_host_halts_all(tmp_path):
     """SIGTERM landing on ONE process of a 2-process job: the consensus
     sync (cross-host all-gather of the signal flag) makes BOTH processes

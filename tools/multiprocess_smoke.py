@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--sigterm_on_process", type=int, default=0,
                    help="which process_id self-delivers the SIGTERM")
     p.add_argument("--preempt_sync_steps", type=int, default=10)
+    p.add_argument("--dcn_data_parallel", action="store_true",
+                   help="hybrid ICI x DCN mesh: per-process devices form "
+                        "the slice, data parallel across processes over "
+                        "the DCN axis (CPU rig: process = slice granule)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cache_frozen_features", action="store_true")
     p.add_argument("--pretrain", action="store_true",
@@ -130,6 +134,8 @@ def main(argv=None):
         num_epochs=args.num_epochs, save_interval=args.save_interval,
         halt_after_steps=args.halt_after_steps,
         preempt_sync_steps=args.preempt_sync_steps,
+        dcn_mesh_shape=((args.num_processes, 1, 1)
+                        if args.dcn_data_parallel else (1, 1, 1)),
         compute_dtype="float32",
         cache_frozen_features=args.cache_frozen_features,
         scan_unroll=1,
