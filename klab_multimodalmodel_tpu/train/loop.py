@@ -17,6 +17,7 @@ resume at all — SURVEY.md §5).
 
 from __future__ import annotations
 
+import json
 import os
 import signal
 import time
@@ -453,6 +454,18 @@ def train(config: Config,
                 f"Val loss : {val_loss} "
                 f"({ips:.1f} img/s, {ips / max(jax.device_count(), 1):.1f} "
                 f"img/s/chip)")
+            # Machine-readable training curve (one JSON line per epoch),
+            # appended so resumed runs extend the same file.
+            with open(os.path.join(config.result_dir,
+                                   "metrics.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch, "steps": steps,
+                    "train_loss": train_loss, "val_loss": val_loss,
+                    "img_per_sec": round(ips, 2),
+                    "img_per_sec_per_chip": round(
+                        ips / max(jax.device_count(), 1), 2),
+                    "lr": float(lr_schedule(max(steps - 1, 0))),
+                    "epoch_seconds": round(dt, 2)}) + "\n")
 
         # Checkpoint saves are collective (every process participates in the
         # sharded write); the decisions below are identical on all hosts

@@ -777,3 +777,19 @@ def test_sigterm_preemption_save_and_resume(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert out_a["losses"] == out_b2["losses"]
+
+
+def test_metrics_jsonl_written(tmp_path):
+    """Each epoch appends a machine-readable line to metrics.jsonl."""
+    import json as _json
+    import os as _os
+
+    cfg = micro_config(tmp_path, num_epochs=2)
+    out = train(cfg, train_loader=_make_loader(cfg, n=16),
+                val_loader=_make_loader(cfg, n=8), resume=False)
+    path = _os.path.join(cfg.result_dir, "metrics.jsonl")
+    rows = [_json.loads(line) for line in open(path)]
+    assert [r["epoch"] for r in rows] == [1, 2]
+    assert rows[-1]["train_loss"] == out["losses"]["train"][-1]
+    for key in ("val_loss", "img_per_sec", "lr", "epoch_seconds", "steps"):
+        assert key in rows[0]
