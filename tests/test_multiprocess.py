@@ -201,3 +201,17 @@ def test_multiprocess_feature_cache_and_pretrain(tmp_path):
                   ["--num_epochs", "1", "--pretrain"])
     assert pre[0]["digests"] == pre[1]["digests"]
     assert all(v == v for v in pre[0]["losses"]["train"])  # finite floats
+
+    # the full TPU-fast stack at once: multi-process x feature cache x
+    # bucketed padding (bucket trims -> per-host feature readback pads the
+    # lang rows back to full width). Bucketing reorders pad-extent
+    # reductions, so losses match to float tolerance, not bitwise.
+    import numpy as np
+    bucketed = run_job(tmp_path, "bucketed_cached", 2, 4,
+                       ["--num_epochs", "2", "--cache_frozen_features",
+                        "--bucket_lengths"])
+    assert bucketed[0]["digests"] == bucketed[1]["digests"]
+    np.testing.assert_allclose(bucketed[0]["losses"]["train"],
+                               plain[0]["losses"]["train"], rtol=1e-5)
+    np.testing.assert_allclose(bucketed[0]["losses"]["val"],
+                               plain[0]["losses"]["val"], rtol=1e-5)

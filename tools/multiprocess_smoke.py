@@ -64,6 +64,7 @@ def parse_args(argv=None):
                         "the DCN axis (CPU rig: process = slice granule)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cache_frozen_features", action="store_true")
+    p.add_argument("--bucket_lengths", action="store_true")
     p.add_argument("--pretrain", action="store_true",
                    help="span-corruption synthetic data instead of captions")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
@@ -138,6 +139,7 @@ def main(argv=None):
                         if args.dcn_data_parallel else (1, 1, 1)),
         compute_dtype="float32",
         cache_frozen_features=args.cache_frozen_features,
+        bucket_lengths=args.bucket_lengths,
         scan_unroll=1,
         data_dir="synthetic-pretrain" if args.pretrain else "synthetic",
         result_dir=args.result_dir)
