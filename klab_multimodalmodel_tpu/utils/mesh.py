@@ -34,7 +34,7 @@ def maybe_init_distributed() -> None:
     """
     if os.environ.get("KLAB_MULTIHOST", "0") != "1":
         return
-    if jax._src.distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return  # already initialized (e.g. by an outer harness)
     impl = os.environ.get("KLAB_CPU_COLLECTIVES", "")
     if impl:
