@@ -142,6 +142,37 @@ def test_multiprocess_preempt_resume_bitmatch(tmp_path):
 
 
 @pytest.mark.slow
+def test_elastic_resume_across_topologies(tmp_path):
+    """Elastic restart: a 2-process job preempted mid-epoch resumes as a
+    1-process job over the same 8-device mesh (orbax reshards the
+    collectively-written checkpoint on restore). Frozen towers stay
+    bitwise; trainable state matches to reduction-order rounding (the
+    gloo-vs-in-process all-reduce ulp, as in the topology-match test)."""
+    import numpy as np
+
+    un = run_job(tmp_path, "un", 2, 4, ["--num_epochs", "2"])
+    halted = run_job(tmp_path, "elastic", 2, 4,
+                     ["--num_epochs", "2", "--halt_after_steps", "3"])
+    assert all(r["halted"] for r in halted)
+    resumed = run_job(tmp_path, "elastic", 1, 8,
+                      ["--num_epochs", "2", "--resume"])
+    assert not resumed[0]["halted"]
+    assert resumed[0]["steps"] == un[0]["steps"]
+    np.testing.assert_allclose(resumed[0]["losses"]["train"],
+                               un[0]["losses"]["train"], rtol=1e-6)
+    np.testing.assert_allclose(resumed[0]["losses"]["val"],
+                               un[0]["losses"]["val"], rtol=1e-6)
+    a = np.load(resumed[0]["params_npz"])
+    b = np.load(un[0]["params_npz"])
+    for k in a.files:
+        if "image_model" in k or "language_model" in k:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(a[k], b[k], rtol=3e-6, atol=1e-7,
+                                       err_msg=k)
+
+
+@pytest.mark.slow
 def test_multiprocess_hybrid_dcn_mesh(tmp_path):
     """--dcn_mesh_shape (multi-slice layout): data parallel across the
     process/slice granule over the 'DCN' axis, per-slice devices on the
