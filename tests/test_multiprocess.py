@@ -49,8 +49,14 @@ def _worker_env() -> dict:
 
 
 def run_job(tmp_path, tag: str, num_processes: int, devices_per_process: int,
-            extra_args=(), timeout=600) -> list[dict]:
-    """Spawn one N-process job; return the per-process result JSONs."""
+            extra_args=(), timeout=600, _attempt=0) -> list[dict]:
+    """Spawn one N-process job; return the per-process result JSONs.
+
+    Retries once on a gloo rendezvous DEADLINE_EXCEEDED: on a 1-core CI
+    host, two processes compiling the same programs can skew past gloo's
+    fixed 30 s key-exchange window — an infrastructure flake, not a
+    product failure (the retried job runs the identical code path).
+    """
     port = _free_port()
     result_dir = str(tmp_path / tag)
     outs, procs, logs = [], [], []
@@ -74,6 +80,13 @@ def run_job(tmp_path, tag: str, num_processes: int, devices_per_process: int,
         if rc != 0:
             with open(logs[pid]) as f:
                 tail = "".join(f.readlines()[-30:])
+            if _attempt == 0 and ("DEADLINE_EXCEEDED" in tail
+                                  or "Gloo context" in tail):
+                for p in procs:
+                    p.kill()
+                return run_job(tmp_path, tag, num_processes,
+                               devices_per_process, extra_args, timeout,
+                               _attempt=1)
             raise AssertionError(
                 f"{tag} proc {pid}/{num_processes} rc={rc}\n{tail}")
     return [json.load(open(p)) for p in outs]
