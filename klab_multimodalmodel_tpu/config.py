@@ -288,6 +288,13 @@ class Config:
     decode_workers: str = "thread"
     prefetch_batches: int = 2
     log_every_steps: int = 50
+    # Training-time caption-quality tracking (beyond the reference, which
+    # has no quantitative evaluation): every N epochs greedy-decode up to
+    # eval_captions_limit COCO-val images and log CIDEr-D / BLEU-4
+    # (official PTB tokenization). Needs a COCO-layout data_dir;
+    # single-process runs only (decode is not sharded across processes).
+    eval_captions_every: int = 0
+    eval_captions_limit: int = 256
     # Generation defaults — HF GenerationConfig defaults the reference
     # inherits via transformer.generate (models/model.py:28): greedy,
     # max_length=20, decoder_start = pad id.
@@ -466,6 +473,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_server_port", type=int,
                         default=d.profile_server_port)
     parser.add_argument("--log_every_steps", type=int, default=d.log_every_steps)
+    parser.add_argument("--eval_captions_every", type=int,
+                        default=d.eval_captions_every)
+    parser.add_argument("--eval_captions_limit", type=int,
+                        default=d.eval_captions_limit)
     parser.add_argument("--generate_max_length", type=int, default=d.generate_max_length)
     parser.add_argument("--num_beams", type=int, default=d.num_beams)
     return parser

@@ -67,6 +67,13 @@ def train(config: Config,
     if val_loader is None:
         val_loader = get_dataloader(config, "val", tokenizer)
 
+    if config.eval_captions_every and jax.process_count() > 1:
+        raise ValueError(
+            "eval_captions_every supports single-process runs only "
+            "(caption decode is not sharded across processes); run "
+            "klab-eval after training instead")
+    eval_refs = None  # (paths, references), loaded once on first use
+
     num_epochs = config.num_epochs
     if num_epochs is None:
         num_epochs = int(config.num_steps / len(train_loader)) + 1
@@ -441,6 +448,29 @@ def train(config: Config,
         train_loss, val_loss = loss_counter.count_and_get_loss()
         dt = time.perf_counter() - epoch_t0
         ips = images_seen / dt if dt > 0 else 0.0
+
+        caption_scores = None
+        if (config.eval_captions_every
+                and epoch % config.eval_captions_every == 0):
+            from ..evaluation.evaluate import (coco_references,
+                                               evaluate_captions)
+
+            if eval_refs is None:
+                eval_refs = coco_references(config.data_dir, "val")
+            with profiler.annotate("eval_captions"):
+                caption_scores = evaluate_captions(
+                    config, state.params, tokenizer, eval_refs[0],
+                    eval_refs[1], limit=config.eval_captions_limit)
+            if is_main:
+                logger.info(
+                    f"[Epoch ({epoch}/{num_epochs})] CIDEr-D : "
+                    f"{caption_scores['CIDEr-D']:.3f}, BLEU-4 : "
+                    f"{caption_scores['BLEU-4']:.4f} "
+                    f"({caption_scores['num_images']} images)")
+            if tb.enabled:
+                tb.scalar("quality/cider_d",
+                          caption_scores["CIDEr-D"], epoch)
+                tb.scalar("quality/bleu4", caption_scores["BLEU-4"], epoch)
         if tb.enabled:
             tb.scalar("loss/train", train_loss, epoch)
             tb.scalar("loss/val", val_loss, epoch)
@@ -456,16 +486,19 @@ def train(config: Config,
                 f"img/s/chip)")
             # Machine-readable training curve (one JSON line per epoch),
             # appended so resumed runs extend the same file.
+            row = {"epoch": epoch, "steps": steps,
+                   "train_loss": train_loss, "val_loss": val_loss,
+                   "img_per_sec": round(ips, 2),
+                   "img_per_sec_per_chip": round(
+                       ips / max(jax.device_count(), 1), 2),
+                   "lr": float(lr_schedule(max(steps - 1, 0))),
+                   "epoch_seconds": round(dt, 2)}
+            if caption_scores is not None:
+                row["cider_d"] = caption_scores["CIDEr-D"]
+                row["bleu4"] = caption_scores["BLEU-4"]
             with open(os.path.join(config.result_dir,
                                    "metrics.jsonl"), "a") as f:
-                f.write(json.dumps({
-                    "epoch": epoch, "steps": steps,
-                    "train_loss": train_loss, "val_loss": val_loss,
-                    "img_per_sec": round(ips, 2),
-                    "img_per_sec_per_chip": round(
-                        ips / max(jax.device_count(), 1), 2),
-                    "lr": float(lr_schedule(max(steps - 1, 0))),
-                    "epoch_seconds": round(dt, 2)}) + "\n")
+                f.write(json.dumps(row) + "\n")
 
         # Checkpoint saves are collective (every process participates in the
         # sharded write); the decisions below are identical on all hosts

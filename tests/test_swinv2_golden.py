@@ -85,3 +85,34 @@ def test_swin_bf16_softmax_and_tanh_gelu_close_to_fp32(rng):
     scale = np.abs(ref).mean()
     assert np.abs(out - ref).mean() / scale < 0.05
     np.testing.assert_allclose(out, ref, atol=0.35)  # bf16-level bound
+
+
+@pytest.mark.slow
+def test_swinv2_base_full_geometry_golden(rng):
+    """FULL swinv2-base-patch4-window8-256 (88M params, the reference's
+    default --image_model_name): a random-weight HF torch model converted
+    with the production converter must match HF's last_hidden_state —
+    provenance evidence at the exact geometry real checkpoints use (the
+    T5 towers have the same full-geometry pin in test_provenance.py)."""
+    size = SwinV2Size()  # base defaults: 256px/4/128/(2,2,18,2)/(4,8,16,32)/8
+    torch.manual_seed(0)
+    cfg = transformers.Swinv2Config(
+        image_size=size.image_size, patch_size=size.patch_size,
+        num_channels=3, embed_dim=size.embed_dim, depths=list(size.depths),
+        num_heads=list(size.num_heads), window_size=size.window_size,
+        drop_path_rate=0.0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    hf = transformers.Swinv2Model(cfg, add_pooling_layer=False)
+    hf.eval()
+
+    images = rng.standard_normal((1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(images)).last_hidden_state.numpy()
+
+    model = SwinV2Encoder(size)
+    params = convert_swinv2(hf.state_dict(), size)
+    import jax
+    out = jax.jit(lambda p, x: model.apply({"params": p}, x))(
+        params, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    assert out.shape == ref.shape == (1, 64, 1024)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=1e-4)

@@ -607,11 +607,18 @@ def test_train_end_to_end_real_coco_layout(tmp_path):
             json.dump({"images": images, "annotations": annotations}, f)
 
     cfg = micro_config(tmp_path, data_dir=str(d), num_epochs=1,
-                       result_dir=str(tmp_path / "coco_results"))
+                       result_dir=str(tmp_path / "coco_results"),
+                       eval_captions_every=1, eval_captions_limit=4,
+                       generate_max_length=6)
     out = train(cfg, resume=False)  # loaders built by get_dataloader
     assert np.isfinite(out["losses"]["train"][0])
     assert np.isfinite(out["losses"]["val"][0])
     assert os.path.exists(os.path.join(cfg.result_dir, "train.log"))
+    # training-time caption-quality tracking ran and was recorded
+    rows = [json.loads(line) for line in
+            open(os.path.join(cfg.result_dir, "metrics.jsonl"))]
+    assert "cider_d" in rows[-1] and "bleu4" in rows[-1]
+    assert np.isfinite(rows[-1]["cider_d"])
 
 
 def test_skip_image_decode_when_fully_cached(tmp_path, monkeypatch):
