@@ -216,7 +216,7 @@ def train(config: Config,
         for k, b in (("source_ids", sb), ("source_mask", sb),
                      ("target_ids", tb), ("target_mask", tb)):
             out[k] = np.ascontiguousarray(batch[k][:, :b])
-        return type(batch)(out) if isinstance(batch, dict) else out
+        return out
 
     def cache_fill(caches, index, feats):
         # index holds THIS host's dataset rows; fetch only this host's
