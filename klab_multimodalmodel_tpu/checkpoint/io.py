@@ -8,6 +8,11 @@ checkpoint here is the **full train state** (params, optimizer moments, step)
 plus a metadata JSON (epoch, min_val_loss, loss history), enabling true
 deterministic resume. Sharded arrays are saved per-shard by orbax — no host
 gather of the full model.
+
+Pretrained checkpoints (``tools/convert_hf_checkpoint.py``) are always in
+the dense scanned-layer layout; :func:`load_pretrained_params` re-layouts
+the transformer on the fly when the target model is pipelined
+(``--pipeline_stages``) — a pure reshape, bit-identical weights.
 """
 
 from __future__ import annotations
@@ -45,7 +50,35 @@ def load_pretrained_params(path: str, params: Any) -> Any:
         raise ValueError(
             f"pretrained checkpoint {p} contains subtrees {missing} the "
             "model does not have — geometry/config mismatch")
+    # Pipelined target + dense checkpoint: restore the transformer in the
+    # checkpoint's own (dense) layout, then reshape into the stage layout.
+    pipelined_tr = ("transformer" in target
+                    and "pipeline" in target["transformer"].get(
+                        "encoder", {}))
+    if pipelined_tr and "layers" in saved["transformer"].get("encoder", {}):
+        from ..parallel.partitioning import (make_param_specs,
+                                             make_shardings)
+
+        mesh = jax.tree.leaves(params)[0].sharding.mesh
+        dense_abs = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+            saved["transformer"])
+        dense_sh = make_shardings(make_param_specs(dense_abs), mesh)
+        target["transformer"] = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                               sharding=sh),
+            dense_abs, dense_sh)
     restored = ckptr.restore(p, target)
+    if pipelined_tr and "pipeline" not in restored["transformer"].get(
+            "encoder", {}):
+        from ..models.t5 import pipeline_t5_params
+
+        stages = jax.tree.leaves(
+            params["transformer"]["encoder"]["pipeline"])[0].shape[0]
+        conv = pipeline_t5_params(restored["transformer"], stages)
+        ref_shardings = jax.tree.map(lambda x: x.sharding,
+                                     params["transformer"])
+        restored["transformer"] = jax.device_put(conv, ref_shardings)
     return {**params, **restored}
 
 

@@ -142,15 +142,17 @@ class Config:
 
     # --- TPU-native extensions ---
     seed: int = 0
-    # Mesh: data-parallel x fsdp x tensor-parallel. -1 on the data axis means
-    # "all remaining devices".
-    mesh_shape: tuple[int, int, int] = (-1, 1, 1)
-    mesh_axis_names: tuple[str, str, str] = ("data", "fsdp", "tensor")
+    # Mesh: data x fsdp x tensor x sequence x pipeline parallelism.
+    # -1 on the data axis means "all remaining devices". 3-tuples (the
+    # pre-seq/pipe layout) are accepted and right-padded with 1.
+    mesh_shape: tuple[int, ...] = (-1, 1, 1, 1, 1)
+    mesh_axis_names: tuple[str, ...] = ("data", "fsdp", "tensor", "seq",
+                                        "pipe")
     # Multi-slice pods: per-axis DCN factors (mesh_shape becomes the
     # PER-SLICE shape). E.g. (2, 1, 1) on two v5e-256 slices = data
     # parallel across slices over DCN, fsdp/tensor inside each slice over
     # ICI (utils/mesh.py:make_mesh). (1,1,1) = single slice.
-    dcn_mesh_shape: tuple[int, int, int] = (1, 1, 1)
+    dcn_mesh_shape: tuple[int, ...] = (1, 1, 1, 1, 1)
     # Compute dtype policy: params fp32, activations bf16 (MXU-native).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -196,6 +198,27 @@ class Config:
     # backward costs more than fused dropout saves at these short sequence
     # lengths, so default off. Decode steps always use the XLA path.
     use_pallas_t5_attention: bool = False
+    # Sequence-parallel attention backend, effective only when the mesh's
+    # ``seq`` axis is >1 (--mesh_shape D F T S). 'allgather' (default):
+    # the XLA SPMD partitioner gathers full K/V per device — optimal at
+    # reference-scale sequences. 'ring': K/V stay sharded and rotate over
+    # the seq axis via ppermute with a flash-style running softmax
+    # (ops/ring_attention.py) — O(L/n) activation memory per device, the
+    # long-context layout. Both are loss-equivalent to the dense path
+    # (tests/test_ring_attention.py, test_spmd_equivalence.py).
+    seq_attention: str = "allgather"
+    # Pipeline parallelism over the mesh's ``pipe`` axis: the MAIN
+    # transformer's encoder/decoder layer stacks are split into this many
+    # stages (each holding num_layers/stages contiguous layers, params
+    # sharded P('pipe', ...)) and executed as a GPipe microbatch pipeline —
+    # a lax.scan over ticks whose stage-shift lowers to collective-permute
+    # over ICI (models/t5.py:_PipelineTicks). The frozen towers stay
+    # unpipelined (they are a fraction of the transformer's depth/FLOPs).
+    # Requires the mesh's pipe axis == pipeline_stages when > 1.
+    pipeline_stages: int = 1
+    # Microbatches per step for the pipeline (bubble fraction =
+    # (S-1)/(M+S-1)). 0 = pipeline_stages. Must divide the per-step batch.
+    pipeline_microbatches: int = 0
     # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
     # attention masks and does not mask pad positions out of the loss.
     # Defaults fix both; set True for bit-parity with the reference.
@@ -302,6 +325,21 @@ class Config:
     num_beams: int = 1
 
     def __post_init__(self) -> None:
+        # Normalize mesh fields: 3-tuples (pre-seq-axis configs, incl. every
+        # serialized run dir from earlier rounds) are right-padded to the
+        # 4-axis (data, fsdp, tensor, seq) layout.
+        canonical = ("data", "fsdp", "tensor", "seq", "pipe")
+        names = tuple(self.mesh_axis_names)
+        if names == canonical[:len(names)]:
+            names = canonical
+        object.__setattr__(self, "mesh_axis_names", names)
+        for field_name in ("mesh_shape", "dcn_mesh_shape"):
+            shape = tuple(int(s) for s in getattr(self, field_name))
+            if not 3 <= len(shape) <= len(names):
+                raise ValueError(
+                    f"{field_name}={shape}: expected 3 or {len(names)} axes")
+            shape = shape + (1,) * (len(names) - len(shape))
+            object.__setattr__(self, field_name, shape)
         if self.lr_scheduler not in ("", "cosine", "linear", "exponential", "step"):
             raise ValueError(f"unknown lr_scheduler {self.lr_scheduler!r}")
         # dtype-string knobs: consumers test == 'bfloat16', so a typo (e.g.
@@ -315,6 +353,41 @@ class Config:
                     f"{field_name}={v!r}: expected 'float32' or 'bfloat16'")
         if self.optimizer not in ("adam", "adafactor"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.seq_attention not in ("allgather", "ring"):
+            raise ValueError(
+                f"unknown seq_attention {self.seq_attention!r}")
+        # Axis sizes by name (custom axis-name lists may be shorter).
+        def _axis(name: str) -> int:
+            try:
+                return self.mesh_shape[self.mesh_axis_names.index(name)]
+            except ValueError:
+                return 1
+
+        if self.pipeline_stages > 1:
+            if self.seq_attention == "ring":
+                raise ValueError(
+                    "pipeline_stages > 1 with seq_attention='ring' is not "
+                    "supported (shard_map inside the pipeline's vmapped "
+                    "stages); use the default allgather seq path")
+            if self.use_pallas_t5_attention:
+                raise ValueError(
+                    "pipeline_stages > 1 with use_pallas_t5_attention is "
+                    "not supported; drop one of the flags")
+            if _axis("pipe") not in (1, self.pipeline_stages):
+                raise ValueError(
+                    f"mesh pipe axis {_axis('pipe')} must equal "
+                    f"pipeline_stages={self.pipeline_stages} (or 1 to run "
+                    "the schedule unsharded)")
+            if _axis("seq") != 1:
+                raise ValueError(
+                    "pipeline_stages > 1 with a seq mesh axis > 1 is not "
+                    "supported (sharding constraints inside the vmapped "
+                    "stages); shard long sequences with --mesh_shape seq "
+                    "instead of the pipeline")
+        elif _axis("pipe") != 1:
+            raise ValueError(
+                f"mesh pipe axis {_axis('pipe')} > 1 requires "
+                "--pipeline_stages to match")
         if self.accumulation_tail not in ("pad", "drop", "error"):
             raise ValueError(
                 f"unknown accumulation_tail {self.accumulation_tail!r}")
@@ -428,11 +501,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--result_dir", type=str, default=d.result_dir)
     # TPU-native extensions
     parser.add_argument("--seed", type=int, default=d.seed)
-    parser.add_argument("--mesh_shape", type=int, nargs=3, default=list(d.mesh_shape),
-                        metavar=("DATA", "FSDP", "TENSOR"))
-    parser.add_argument("--dcn_mesh_shape", type=int, nargs=3,
+    parser.add_argument("--mesh_shape", type=int, nargs="+",
+                        default=list(d.mesh_shape),
+                        help="3-5 ints: DATA FSDP TENSOR [SEQ [PIPE]]")
+    parser.add_argument("--dcn_mesh_shape", type=int, nargs="+",
                         default=list(d.dcn_mesh_shape),
-                        metavar=("DATA", "FSDP", "TENSOR"))
+                        help="3-5 ints: DATA FSDP TENSOR [SEQ [PIPE]]")
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", type=str, default=d.remat,
@@ -451,6 +525,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--swin_gelu_approximate", action="store_true")
     parser.add_argument("--use_pallas_t5_attention", action="store_true")
+    parser.add_argument("--seq_attention", type=str, default=d.seq_attention,
+                        choices=["allgather", "ring"])
+    parser.add_argument("--pipeline_stages", type=int,
+                        default=d.pipeline_stages)
+    parser.add_argument("--pipeline_microbatches", type=int,
+                        default=d.pipeline_microbatches)
     parser.add_argument("--reference_pad_quirks", action="store_true")
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--cache_frozen_features", action="store_true")

@@ -24,6 +24,21 @@ from .generate import generate
 class Captioner:
     def __init__(self, config: Config, params: Any,
                  tokenizer: TokenizerBase):
+        if config.pipeline_stages > 1:
+            # Incremental decode is a sequential KV-cache loop — nothing to
+            # pipeline. Fold the stage axis back into the scanned-layer
+            # layout (a pure reshape) and run the plain model, so training
+            # -time caption tracking works unchanged under --pipeline_stages.
+            import dataclasses
+
+            from ..models.t5 import unpipeline_t5_params
+
+            params = dict(params)
+            params["transformer"] = unpipeline_t5_params(
+                params["transformer"])
+            config = dataclasses.replace(
+                config, pipeline_stages=1, pipeline_microbatches=0,
+                mesh_shape=config.mesh_shape[:4] + (1,))
         self.config = config
         self.params = params
         self.tokenizer = tokenizer

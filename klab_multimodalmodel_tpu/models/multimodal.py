@@ -52,14 +52,19 @@ class MultiModalModel(nn.Module):
             if cfg.swin_softmax_dtype == "bfloat16" else jnp.float32,
             gelu_approximate=cfg.swin_gelu_approximate,
             name="image_model")
+        ring = cfg.seq_attention == "ring"
         self.language_model = T5Encoder(cfg.language_t5, dtype=self.dtype,
                                         scan_unroll=cfg.scan_unroll,
                                         use_pallas=cfg.use_pallas_t5_attention,
+                                        ring_attention=ring,
                                         name="language_model")
         self.transformer = T5ForConditionalGeneration(
             cfg.transformer_t5, dtype=self.dtype, remat=cfg.remat,
             scan_unroll=cfg.scan_unroll,
-            use_pallas=cfg.use_pallas_t5_attention, name="transformer")
+            use_pallas=cfg.use_pallas_t5_attention, ring_attention=ring,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
+            name="transformer")
         d_model = cfg.transformer_t5.d_model
         vis_dim = cfg.swin.num_features
         self.needs_vision_proj = (

@@ -29,6 +29,8 @@ import numpy as np
 from ..config import T5Size
 from ..ops.fused_attention import (pack_head_bias, pick_group,
                                    t5_fused_attention_packed)
+from ..ops.ring_attention import ring_applicable, ring_self_attention
+from ..parallel.partitioning import pipe_constraint, seq_constraint
 from .layers import NEG_INF, RMSNorm, dot_product_attention
 
 Dtype = Any
@@ -109,6 +111,7 @@ class T5Attention(nn.Module):
 
     size: T5Size
     dtype: Dtype = jnp.float32
+    ring_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
@@ -152,6 +155,22 @@ class T5Attention(nn.Module):
                                              rate, seed, G)
             attn = attn.transpose(0, 2, 1, 3).reshape(
                 x.shape[:-1] + (inner,))
+            return o_proj(attn)
+
+        if (self.ring_attention and not decode and not is_cross
+                and pallas_pack is None
+                and ring_applicable(q.shape[2], k.shape[2])):
+            # Sequence-parallel ring attention (--seq_attention ring): K/V
+            # stream over the seq axis instead of being all-gathered;
+            # attention-prob dropout runs inside the ring (numerator-mask,
+            # exact dropout(softmax(.)) @ v semantics). Cross-attention and
+            # decode keep the XLA path (decoder-L and encoder-L generally
+            # shard differently; the KV cache is decode-local).
+            rate = 0.0 if deterministic else s.dropout_rate
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            attn = ring_self_attention(q, k, v, bias, dropout_rate=rate,
+                                       dropout_rng=rng)
+            attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (inner,))
             return o_proj(attn)
 
         if decode:
@@ -218,6 +237,7 @@ class T5Block(nn.Module):
     size: T5Size
     has_cross_attention: bool = False
     dtype: Dtype = jnp.float32
+    ring_attention: bool = False
 
     @nn.compact
     def __call__(self, x, self_bias, enc_out, cross_bias,
@@ -226,7 +246,9 @@ class T5Block(nn.Module):
         s = self.size
         drop = nn.Dropout(s.dropout_rate)
         h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_self")(x)
-        h = T5Attention(s, dtype=self.dtype, name="SelfAttention")(
+        h = T5Attention(s, dtype=self.dtype,
+                        ring_attention=self.ring_attention,
+                        name="SelfAttention")(
             h, bias=self_bias, pallas_pack=self_pack,
             deterministic=deterministic, decode=decode)
         x = x + drop(h, deterministic=deterministic)
@@ -254,16 +276,178 @@ class _ScanBlock(nn.Module):
     dtype: Dtype
     deterministic: bool
     decode: bool
+    ring_attention: bool = False
 
     @nn.compact
     def __call__(self, carry, self_bias, enc_out, cross_bias, self_pack,
                  cross_pack):
         x = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
+                    ring_attention=self.ring_attention,
                     name="block")(carry, self_bias, enc_out, cross_bias,
                                   self_pack=self_pack, cross_pack=cross_pack,
                                   deterministic=self.deterministic,
                                   decode=self.decode)
+        if not self.decode:
+            # Sequence parallelism: re-pin every layer's carry to the seq
+            # axis so per-token work stays sharded through the whole stack
+            # (no-op without a seq>1 ambient mesh).
+            x = seq_constraint(x)
         return x, None
+
+
+class _StageBlocks(nn.Module):
+    """One pipeline stage: a sequential sub-stack of ``layers_per_stage``
+    blocks (the same scanned block body as the non-pipelined path).
+
+    Takes the DECOMPOSED attention inputs (shared head bias + raw key
+    masks) and assembles the dense logit biases itself — so the pipeline's
+    travelling per-microbatch state is the tiny (B, L) masks, not
+    O(H·L²) dense biases.
+    """
+
+    size: T5Size
+    has_cross_attention: bool
+    dtype: Dtype
+    deterministic: bool
+    layers_per_stage: int
+    scan_unroll: int
+    remat: str
+
+    @nn.compact
+    def __call__(self, x, head_bias, kmask, enc_out, cross_kmask):
+        self_bias = head_bias[None] if head_bias is not None else None
+        mask_bias = _mask_to_bias(kmask, x.shape[0], x.shape[1])
+        if mask_bias is not None:
+            self_bias = (mask_bias if self_bias is None
+                         else self_bias + mask_bias)
+        cross_bias = None
+        if enc_out is not None:
+            cross_bias = _mask_to_bias(cross_kmask, x.shape[0],
+                                       enc_out.shape[1])
+        block_cls = _ScanBlock
+        if self.remat == "full":
+            block_cls = nn.remat(block_cls)
+        elif self.remat == "dots_saveable":
+            block_cls = nn.remat(
+                block_cls, policy=jax.checkpoint_policies.dots_saveable)
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 5,
+            length=self.layers_per_stage,
+            unroll=self.layers_per_stage if self.scan_unroll == 0
+            else self.scan_unroll,
+        )(self.size, self.has_cross_attention, self.dtype,
+          self.deterministic, False, False, name="block")
+        x, _ = blocks(x, self_bias, enc_out, cross_bias, None, None)
+        return x
+
+
+class _PipelineTicks(nn.Module):
+    """One GPipe tick: shift each stage's input forward, run all stages.
+
+    Scanned over ``M + S - 1`` ticks with broadcast params (weight sharing
+    across ticks — the pipeline schedule, not weight stacking). The carry
+    holds each stage's previous OUTPUT for every batch-dependent tensor
+    (activations, key masks, encoder context — everything that must travel
+    with its microbatch); the shift concatenates this tick's microbatch in
+    at stage 0 and the last stage's output is emitted into the scanned ys.
+    With the stage axis sharded over ``pipe`` (pipe_constraint), XLA lowers
+    the shift to a neighbour collective-permute over ICI and runs the
+    vmapped stages SPMD — the shard_map-free GSPMD pipelining pattern.
+
+    ``carried`` is the static set of batch-dependent keys present (subset
+    of kmask / enc_out / cross_kmask; ``x`` always travels). ``head_bias``
+    (relpos [+ causal], shared across batch rows) is broadcast to every
+    stage unshifted.
+    """
+
+    size: T5Size
+    has_cross_attention: bool
+    dtype: Dtype
+    deterministic: bool
+    layers_per_stage: int
+    scan_unroll: int
+    remat: str
+    carried: tuple  # static subset of ("kmask", "enc_out", "cross_kmask")
+
+    @nn.compact
+    def __call__(self, carry, mb, head_bias):
+        def shift(mb_t, state_t):
+            return pipe_constraint(
+                jnp.concatenate([mb_t[None], state_t[:-1]], axis=0))
+
+        st = {k: shift(mb[k], carry[k]) for k in carry}
+        in_axes = (0, None,
+                   0 if "kmask" in st else None,
+                   0 if "enc_out" in st else None,
+                   0 if "cross_kmask" in st else None)
+        staged = nn.vmap(
+            _StageBlocks,
+            in_axes=in_axes, out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.size, self.has_cross_attention, self.dtype,
+          self.deterministic, self.layers_per_stage, self.scan_unroll,
+          self.remat, name="stages")
+        out_x = staged(st["x"], head_bias, st.get("kmask"),
+                       st.get("enc_out"), st.get("cross_kmask"))
+        out_x = pipe_constraint(out_x)
+        new_carry = dict(st)
+        new_carry["x"] = out_x
+        return new_carry, out_x[-1]
+
+
+def pipeline_stack_params(stack_params: dict, stages: int) -> dict:
+    """Re-layout one T5Stack's params from the scanned-layer layout
+    (``layers/block/…`` with a leading ``(num_layers, …)`` axis) to the
+    pipelined layout (``pipeline/stages/block/block/…`` with leading
+    ``(stages, num_layers // stages, …)`` axes). Values are reshaped
+    views — bit-identical weights, so a converted model computes exactly
+    what the un-pipelined one does (tests/test_pipeline_parallel.py)."""
+    out = {k: v for k, v in stack_params.items() if k != "layers"}
+    block = stack_params["layers"]["block"]
+
+    def reshape(leaf):
+        n = leaf.shape[0]
+        if n % stages:
+            raise ValueError(f"layer count {n} not divisible by {stages}")
+        return leaf.reshape((stages, n // stages) + leaf.shape[1:])
+
+    out["pipeline"] = {"stages": {"block": {
+        "block": jax.tree.map(reshape, block)}}}
+    return out
+
+
+def unpipeline_stack_params(stack_params: dict) -> dict:
+    """Inverse of :func:`pipeline_stack_params` (for decode/export: the
+    incremental-decode path runs the plain scanned stack)."""
+    out = {k: v for k, v in stack_params.items() if k != "pipeline"}
+    block = stack_params["pipeline"]["stages"]["block"]["block"]
+    out["layers"] = {"block": jax.tree.map(
+        lambda leaf: leaf.reshape((leaf.shape[0] * leaf.shape[1],)
+                                  + leaf.shape[2:]), block)}
+    return out
+
+
+def pipeline_t5_params(params: dict, stages: int) -> dict:
+    """Convert a T5ForConditionalGeneration/T5Encoder param tree to the
+    pipelined layout (both stacks for the enc-dec model)."""
+    p = dict(params)
+    for key in ("encoder", "decoder"):
+        if key in p and "layers" in p[key]:
+            p[key] = pipeline_stack_params(p[key], stages)
+    return p
+
+
+def unpipeline_t5_params(params: dict) -> dict:
+    """Inverse of :func:`pipeline_t5_params`."""
+    p = dict(params)
+    for key in ("encoder", "decoder"):
+        if key in p and "pipeline" in p[key]:
+            p[key] = unpipeline_stack_params(p[key])
+    return p
 
 
 class T5Stack(nn.Module):
@@ -288,6 +472,13 @@ class T5Stack(nn.Module):
     # software-pipeline across unrolled layers). 1 = pure while-loop scan.
     scan_unroll: int = 1
     use_pallas: bool = False
+    ring_attention: bool = False
+    # GPipe pipeline parallelism (--pipeline_stages): split the stack into
+    # this many stages over the mesh's ``pipe`` axis and run microbatches
+    # through a tick schedule (_PipelineTicks). Training/eval forward only;
+    # incremental decode needs unpipeline_t5_params + a stages=1 model.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array,
@@ -301,6 +492,21 @@ class T5Stack(nn.Module):
         B, L = inputs_embeds.shape[:2]
         x = nn.Dropout(s.dropout_rate)(inputs_embeds,
                                        deterministic=deterministic)
+        if not decode:
+            x = seq_constraint(x)
+
+        if self.pipeline_stages > 1:
+            if decode:
+                raise ValueError(
+                    "incremental decode with a pipelined stack: convert "
+                    "params with unpipeline_t5_params and run a "
+                    "pipeline_stages=1 model")
+            x = self._pipelined(x, head_bias, kmask, enc_out, cross_kmask,
+                                deterministic)
+            x = RMSNorm(epsilon=s.layer_norm_epsilon,
+                        name="final_layer_norm")(x)
+            return nn.Dropout(s.dropout_rate)(x,
+                                              deterministic=deterministic)
 
         self_bias = cross_bias = self_pack = cross_pack = None
         if self.use_pallas and not decode:
@@ -337,12 +543,69 @@ class T5Stack(nn.Module):
             unroll=self.num_layers if self.scan_unroll == 0
             else self.scan_unroll,
         )(s, self.is_decoder, self.dtype, deterministic, decode,
-          name="layers")
+          self.ring_attention, name="layers")
         x, _ = blocks(x, self_bias, enc_out, cross_bias, self_pack,
                       cross_pack)
         x = RMSNorm(epsilon=s.layer_norm_epsilon, name="final_layer_norm")(x)
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
         return x
+
+    def _pipelined(self, x, head_bias, kmask, enc_out, cross_kmask,
+                   deterministic):
+        """GPipe schedule: M microbatches through S stages in M+S-1 ticks.
+
+        Bubble fraction (S-1)/(M+S-1); params per stage sharded over the
+        ``pipe`` mesh axis (parallel/partitioning.py ``/stages/`` rule) so
+        each device coordinate holds only its stage's layers. Padding
+        ticks wrap valid microbatches (``t % M``) and the tick-0 carry
+        seeds key masks with ones — garbage lanes stay finite (an all
+        -masked row would softmax to NaN, and NaN forward values poison
+        parameter gradients even under zero cotangents), while their
+        outputs are never emitted.
+        """
+        S = self.pipeline_stages
+        if self.num_layers % S:
+            raise ValueError(f"num_layers={self.num_layers} not divisible "
+                             f"by pipeline_stages={S}")
+        if self.use_pallas or self.ring_attention:
+            raise ValueError("pipeline_stages > 1 is incompatible with "
+                             "the pallas/ring attention backends")
+        B = x.shape[0]
+        M = self.pipeline_microbatches or S
+        if B % M:
+            raise ValueError(f"batch={B} not divisible by "
+                             f"pipeline_microbatches={M}")
+        rows = B // M
+        T = M + S - 1
+        idx = jnp.arange(T) % M
+
+        def to_ticks(arr):
+            a = arr.reshape((M, rows) + arr.shape[1:])
+            return jnp.take(a, idx, axis=0)
+
+        mb = {"x": to_ticks(x)}
+        carried = []
+        for key, val in (("kmask", kmask), ("enc_out", enc_out),
+                         ("cross_kmask", cross_kmask)):
+            if val is not None:
+                mb[key] = to_ticks(val)
+                carried.append(key)
+        carry0 = {
+            k: (jnp.ones if k.endswith("kmask") else jnp.zeros)(
+                (S,) + v.shape[1:], v.dtype)
+            for k, v in mb.items()}
+        ticks = nn.scan(
+            _PipelineTicks,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=T,
+        )(self.size, self.is_decoder, self.dtype, deterministic,
+          self.num_layers // S, self.scan_unroll, self.remat,
+          tuple(carried), name="pipeline")
+        _, ys = ticks(carry0, mb, head_bias)
+        return ys[S - 1:].reshape((B,) + ys.shape[2:])
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +637,7 @@ class T5Encoder(nn.Module):
     remat: str = ""
     scan_unroll: int = 0
     use_pallas: bool = False
+    ring_attention: bool = False
 
     def setup(self):
         s = self.size
@@ -388,6 +652,7 @@ class T5Encoder(nn.Module):
                              dtype=self.dtype, remat=self.remat,
                              scan_unroll=self.scan_unroll,
                              use_pallas=self.use_pallas,
+                             ring_attention=self.ring_attention,
                              name="encoder")
 
     def __call__(self, input_ids: Optional[jax.Array] = None,
@@ -445,6 +710,9 @@ class T5ForConditionalGeneration(nn.Module):
     remat: str = ""
     scan_unroll: int = 0
     use_pallas: bool = False
+    ring_attention: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
     def setup(self):
         s = self.size
@@ -462,11 +730,19 @@ class T5ForConditionalGeneration(nn.Module):
         self.encoder = T5Stack(s, s.num_layers, is_decoder=False,
                                dtype=self.dtype, remat=self.remat,
                                scan_unroll=self.scan_unroll,
-                               use_pallas=self.use_pallas, name="encoder")
+                               use_pallas=self.use_pallas,
+                               ring_attention=self.ring_attention,
+                               pipeline_stages=self.pipeline_stages,
+                               pipeline_microbatches=self.pipeline_microbatches,
+                               name="encoder")
         self.decoder = T5Stack(s, s.num_decoder_layers, is_decoder=True,
                                dtype=self.dtype, remat=self.remat,
                                scan_unroll=self.scan_unroll,
-                               use_pallas=self.use_pallas, name="decoder")
+                               use_pallas=self.use_pallas,
+                               ring_attention=self.ring_attention,
+                               pipeline_stages=self.pipeline_stages,
+                               pipeline_microbatches=self.pipeline_microbatches,
+                               name="decoder")
         if not s.tie_word_embeddings:
             self.lm_head = nn.Dense(
                 s.vocab_size, use_bias=False, dtype=self.dtype,

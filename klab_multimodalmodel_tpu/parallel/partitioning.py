@@ -63,15 +63,29 @@ _RULES: list[tuple[str, P]] = [
 
 
 def spec_for_path(path: str, ndim: int) -> P:
-    """PartitionSpec for one parameter, padded to its rank."""
+    """PartitionSpec for one parameter, padded to its rank.
+
+    Pipelined stacks (``--pipeline_stages``) carry params under a
+    ``…/stages/…`` path with a leading stage axis — that axis is sharded
+    over ``pipe`` so each stage's layer block lives on its stage devices.
+    """
+    pipelined = "/stages/" in path or path.startswith("stages/")
     for pattern, spec in _RULES:
         if re.search(pattern, path):
             trailing = tuple(spec)
             if len(trailing) > ndim:
                 # e.g. a rank-1 param matched a rank-2 rule: replicate.
-                return P(*([None] * ndim))
-            return P(*([None] * (ndim - len(trailing)) + list(trailing)))
-    return P(*([None] * ndim))
+                return _with_pipe(P(*([None] * ndim)), pipelined)
+            return _with_pipe(
+                P(*([None] * (ndim - len(trailing)) + list(trailing))),
+                pipelined)
+    return _with_pipe(P(*([None] * ndim)), pipelined)
+
+
+def _with_pipe(spec: P, pipelined: bool) -> P:
+    if not pipelined or len(spec) == 0 or spec[0] is not None:
+        return spec
+    return P("pipe", *tuple(spec)[1:])
 
 
 def _path_str(path) -> str:
@@ -97,6 +111,72 @@ def make_param_shardings(params: Any, mesh: Mesh) -> Any:
 def batch_spec() -> P:
     """Input batches: leading dim over the combined data-like axes."""
     return P(("data", "fsdp"))
+
+
+def _ambient_mesh():
+    """The ambient mesh at trace time (``jax.sharding.use_mesh`` or the
+    legacy ``with mesh:`` context), or None. Only ``axis_names``/``shape``
+    are consumed — an AbstractMesh is fine."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and mesh.axis_names:
+        return mesh
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.interpreters import pxla
+
+        mesh = pxla.thread_resources.env.physical_mesh
+    return None if mesh.empty else mesh
+
+
+def seq_constraint(x: jax.Array, seq_dim: int = 1) -> jax.Array:
+    """Constrain an activation's sequence dim onto the ``seq`` mesh axis.
+
+    Sequence/context parallelism (SURVEY.md §2D SP/CP row): activations of
+    shape (B, L, ...) get ``P(('data','fsdp'), 'seq')`` so the XLA SPMD
+    partitioner splits all per-token work (norms, MLPs, residuals, the
+    softmax over query rows) across the ``seq`` axis and inserts the K/V
+    all-gathers attention needs — the all-gather flavor of context
+    parallelism ("How to Scale Your Model"'s default recipe; the opt-in
+    ring-attention path streams K/V over ppermute instead). No-op unless a
+    mesh with a nontrivial ``seq`` axis is the ambient context, so the
+    single-chip and DP/FSDP/TP paths compile byte-identically.
+    """
+    mesh = _ambient_mesh()
+    if (mesh is None or "seq" not in mesh.axis_names
+            or mesh.shape["seq"] == 1):
+        return x
+    if x.ndim <= seq_dim or x.shape[seq_dim] % mesh.shape["seq"] != 0:
+        return x  # unshardable (e.g. single-token decode step)
+    spec = [None] * x.ndim
+    spec[0] = ("data", "fsdp")
+    spec[seq_dim] = "seq"
+    # Bare PartitionSpec: resolved against the ambient mesh context, which
+    # the guard above just proved is active.
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+def pipe_constraint(x: jax.Array) -> jax.Array:
+    """Constrain a per-stage buffer's leading dim onto the ``pipe`` axis.
+
+    Pipeline state tensors are (S, microbatch_rows, ...): stage axis over
+    ``pipe``, batch rows over the data-like axes. The tick loop's
+    stage-shift (concatenate of a rolled slice) then lowers to a
+    collective-permute between neighbouring stages. No-op without an
+    ambient mesh with a nontrivial ``pipe`` axis.
+    """
+    mesh = _ambient_mesh()
+    if (mesh is None or "pipe" not in mesh.axis_names
+            or mesh.shape["pipe"] == 1):
+        return x
+    if x.shape[0] % mesh.shape["pipe"] != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "pipe"
+    if x.ndim > 1:
+        spec[1] = ("data", "fsdp")
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def shard_batch_specs(batch_example: Any) -> Any:

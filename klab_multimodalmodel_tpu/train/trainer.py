@@ -225,11 +225,11 @@ class Trainer:
         out_shardings = ((self.state_shardings, scalar, batch_sharding)
                          if with_features
                          else (self.state_shardings, scalar))
-        return jax.jit(
+        return self._with_mesh(jax.jit(
             train_step,
             in_shardings=(self.state_shardings, batch_sharding, scalar),
             out_shardings=out_shardings,
-            donate_argnums=(0,))
+            donate_argnums=(0,)))
 
     def make_eval_step(self, with_features: bool = False):
         def eval_step(params, batch):
@@ -239,11 +239,23 @@ class Trainer:
 
         batch_sharding = NamedSharding(self.mesh, P(("data", "fsdp")))
         scalar = NamedSharding(self.mesh, P())
-        return jax.jit(
+        return self._with_mesh(jax.jit(
             eval_step,
             in_shardings=(self.state_shardings.params, batch_sharding),
             out_shardings=(scalar, batch_sharding) if with_features
-            else scalar)
+            else scalar))
+
+    def _with_mesh(self, fn):
+        """Run a compiled step inside the mesh context manager.
+
+        ``seq_constraint`` (sequence parallelism) resolves bare
+        ``PartitionSpec``s against the AMBIENT mesh at trace time; entering
+        the context on every call keeps the first (tracing) call correct no
+        matter where the loop invokes the step from. Steady-state cost is a
+        context-manager enter/exit per step — nanoseconds against a
+        multi-ms step.
+        """
+        return _MeshStep(fn, self.mesh)
 
     @property
     def train_step(self):
@@ -295,3 +307,26 @@ class Trainer:
                 sharding, np.asarray(v)) for k, v in batch.items()}
         return {k: jax.device_put(np.asarray(v), sharding)
                 for k, v in batch.items()}
+
+
+class _MeshStep:
+    """Callable proxy over a jitted step that enters the mesh context.
+
+    Forwards ``lower``/``eval_shape``/any other jit attribute so AOT users
+    (``step.lower(...)``) keep working.
+    """
+
+    def __init__(self, fn, mesh):
+        self._fn = fn
+        self._mesh = mesh
+
+    def __call__(self, *args, **kwargs):
+        with self._mesh:
+            return self._fn(*args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        with self._mesh:
+            return self._fn.lower(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._fn, name)

@@ -49,6 +49,24 @@ def maybe_init_distributed() -> None:
     jax.distributed.initialize(**kwargs)
 
 
+DEFAULT_AXIS_NAMES = ("data", "fsdp", "tensor", "seq", "pipe")
+
+
+def pad_mesh_shape(mesh_shape: Sequence[int],
+                   n_axes: int = len(DEFAULT_AXIS_NAMES),
+                   fill: int = 1) -> tuple[int, ...]:
+    """Right-pad a mesh shape with 1s to the axis-name count.
+
+    Lets 3-tuple ``(data, fsdp, tensor)`` shapes (the pre-seq-axis layout,
+    still what most call sites and serialized configs pass) address the
+    5-axis ``(data, fsdp, tensor, seq, pipe)`` mesh unchanged.
+    """
+    shape = tuple(int(s) for s in mesh_shape)
+    if len(shape) > n_axes:
+        raise ValueError(f"mesh_shape {shape} has more than {n_axes} axes")
+    return shape + (fill,) * (n_axes - len(shape))
+
+
 def resolve_mesh_shape(mesh_shape: Sequence[int],
                        num_devices: int | None = None) -> tuple[int, ...]:
     """Resolve -1 entries ("all remaining devices") in the mesh shape."""
@@ -69,15 +87,18 @@ def resolve_mesh_shape(mesh_shape: Sequence[int],
     return tuple(shape)
 
 
-def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1),
-              axis_names: Sequence[str] = ("data", "fsdp", "tensor"),
+def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1, 1, 1),
+              axis_names: Sequence[str] = DEFAULT_AXIS_NAMES,
               devices: Sequence[jax.Device] | None = None,
               dcn_mesh_shape: Sequence[int] | None = None) -> Mesh:
     """Create the global device mesh.
 
     Axes: ``data`` (pure DP — the reference's only strategy, SURVEY.md §2D),
     ``fsdp`` (parameter/optimizer sharding), ``tensor`` (megatron-style TP for
-    t5-3b/11b geometries).
+    t5-3b/11b geometries), ``seq`` (sequence/context parallelism: activation
+    sequence dims sharded via ``parallel.partitioning.seq_constraint``).
+    3-tuple shapes/names from pre-seq configs are right-padded with 1 /
+    ``seq``.
 
     Multi-slice pods: pass ``dcn_mesh_shape`` (e.g. ``(n_slices, 1, 1)``)
     with ``mesh_shape`` as the PER-SLICE shape. The hybrid mesh keeps each
@@ -87,8 +108,21 @@ def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1),
     prescribes for data-parallel-across-slices. On CPU test rigs the slice
     granule falls back to the process boundary, which is how
     tests/test_multiprocess.py executes this path without a pod.
+
+    ``seq`` shards activation sequence dims (context parallelism) and
+    ``pipe`` shards the transformer layer stacks into pipeline stages
+    (``--pipeline_stages``); both default to 1.
     """
     devices = list(devices) if devices is not None else jax.devices()
+    axis_names = tuple(axis_names)
+    if set(axis_names) < set(DEFAULT_AXIS_NAMES):
+        # legacy 3-axis (or shorter) name lists: extend with the missing
+        # canonical axes so `seq` is always addressable
+        axis_names = axis_names + tuple(
+            a for a in DEFAULT_AXIS_NAMES if a not in axis_names)
+    mesh_shape = pad_mesh_shape(mesh_shape, len(axis_names))
+    if dcn_mesh_shape is not None:
+        dcn_mesh_shape = pad_mesh_shape(dcn_mesh_shape, len(axis_names))
     if dcn_mesh_shape is not None and any(
             int(s) > 1 for s in dcn_mesh_shape):
         dcn = tuple(int(s) for s in dcn_mesh_shape)

@@ -61,18 +61,36 @@ def test_t5_size_table():
 def test_config_json_roundtrip(tmp_path):
     cfg = Config(result_dir=str(tmp_path), mesh_shape=(2, 2, 2),
                  lr_scheduler="cosine", num_epochs=3)
+    # 3-tuple (pre-seq/pipe-axis) shapes are right-padded to 5 axes.
+    assert cfg.mesh_shape == (2, 2, 2, 1, 1)
     path = cfg.save()
     with open(path) as f:
         restored = Config.from_json(f.read())
-    assert restored.mesh_shape == (2, 2, 2)
+    assert restored.mesh_shape == (2, 2, 2, 1, 1)
+    assert restored.mesh_axis_names == ("data", "fsdp", "tensor", "seq",
+                                        "pipe")
     assert restored.lr_scheduler == "cosine"
     assert restored.num_epochs == 3
+
+
+def test_mesh_shape_seq_axis_cli():
+    """--mesh_shape accepts 3 ints (legacy), 4 (seq) or 5 (seq + pipe)."""
+    cfg3 = parse_arguments(["--mesh_shape", "2", "2", "2"])
+    assert cfg3.mesh_shape == (2, 2, 2, 1, 1)
+    cfg4 = parse_arguments(["--mesh_shape", "2", "1", "1", "4"])
+    assert cfg4.mesh_shape == (2, 1, 1, 4, 1)
+    cfg5 = parse_arguments(["--mesh_shape", "2", "1", "1", "1", "2",
+                            "--pipeline_stages", "2"])
+    assert cfg5.mesh_shape == (2, 1, 1, 1, 2)
+    with pytest.raises(ValueError):
+        Config(mesh_shape=(2, 2))
 
 
 def test_mesh_shape_resolution():
     assert resolve_mesh_shape((-1, 1, 1), 8) == (8, 1, 1)
     assert resolve_mesh_shape((-1, 2, 2), 8) == (2, 2, 2)
     assert resolve_mesh_shape((4, 2, 1), 8) == (4, 2, 1)
+    assert resolve_mesh_shape((-1, 1, 1, 2), 8) == (4, 1, 1, 2)
     with pytest.raises(ValueError):
         resolve_mesh_shape((3, 1, 1), 8)
     with pytest.raises(ValueError):
