@@ -82,6 +82,60 @@ def load_pretrained_params(path: str, params: Any) -> Any:
     return {**params, **restored}
 
 
+def _transformer_layout_stages(params) -> Optional[int]:
+    """Pipeline layout of a param(-like) tree's transformer: 1 = dense
+    scanned layers, S = pipelined with S stages, None = no transformer
+    stack found. Works on arrays, ShapeDtypeStructs, and orbax metadata
+    leaves (anything with ``.shape``)."""
+    if not isinstance(params, dict):
+        return None
+    tr = params.get("transformer")
+    if not isinstance(tr, dict):
+        return None
+    enc = tr.get("encoder")
+    if not isinstance(enc, dict):
+        return None
+    if "pipeline" in enc:
+        leaves = jax.tree.leaves(
+            enc["pipeline"], is_leaf=lambda x: hasattr(x, "shape"))
+        return int(leaves[0].shape[0])
+    return 1 if "layers" in enc else None
+
+
+def _convert_transformer_layout(node: Any, to_stages: int) -> Any:
+    """Walk any state pytree (params dicts, optax namedtuple chains, Adam
+    mu/nu trees — everything whose structure mirrors params) and re-layout
+    each embedded transformer tree to ``to_stages``. Pure reshapes;
+    layout-matching subtrees pass through untouched."""
+    from ..models.t5 import pipeline_t5_params, unpipeline_t5_params
+
+    def conv(tr):
+        pipelined = isinstance(tr.get("encoder"), dict) and \
+            "pipeline" in tr["encoder"]
+        if to_stages > 1 and not pipelined:
+            return pipeline_t5_params(tr, to_stages)
+        if to_stages == 1 and pipelined:
+            return unpipeline_t5_params(tr)
+        return tr
+
+    def walk(n):
+        if isinstance(n, dict):
+            return {k: (conv(v) if k == "transformer"
+                        and isinstance(v, dict) and "encoder" in v
+                        else walk(v))
+                    for k, v in n.items()}
+        if isinstance(n, tuple) and hasattr(n, "_fields"):
+            return type(n)(*(walk(v) for v in n))
+        if isinstance(n, (tuple, list)):
+            return type(n)(walk(v) for v in n)
+        return n
+
+    if hasattr(node, "params") and hasattr(node, "replace"):  # TrainState
+        return node.replace(params=walk(node.params),
+                            opt_state=walk(node.opt_state))
+    return walk(node)
+
+
 class CheckpointManager:
     def __init__(self, result_dir: str):
         self.base = os.path.abspath(os.path.join(result_dir, "checkpoints"))
@@ -122,10 +176,52 @@ class CheckpointManager:
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure/shardings of ``target`` (a concrete
         state from ``Trainer.init_state`` or an abstract ShapeDtypeStruct
-        tree with shardings)."""
+        tree with shardings).
+
+        Elastic restart across PIPELINE topologies (the pipeline analogue
+        of the cross-process-count resume): when the checkpoint's
+        transformer layout (dense scanned layers vs S pipeline stages)
+        differs from the target's, the full state — params AND optimizer
+        moments — is restored in the checkpoint's own layout and reshaped
+        into the target's (a bit-exact relayout). With dropout off the
+        resumed run's losses continue exactly; with dropout on, the
+        per-layer RNG folding differs between layouts, like any attention
+        -backend swap (tests/test_pipeline_parallel.py pins the dropout
+        -free equivalence in both directions).
+        """
         self.wait()  # the named checkpoint may still be in flight
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        return self._ckptr.restore(self.path(name), abstract)
+        saved_stages = self._saved_layout_stages(name)
+        tgt_params = getattr(target, "params",
+                             target.get("params")
+                             if isinstance(target, dict) else None)
+        tgt_stages = _transformer_layout_stages(tgt_params)
+        if (saved_stages is None or tgt_stages is None
+                or saved_stages == tgt_stages):
+            return self._ckptr.restore(self.path(name), abstract)
+
+        from ..parallel.partitioning import (make_param_specs,
+                                             make_shardings)
+
+        mesh = jax.tree.leaves(abstract)[0].sharding.mesh
+        inter = _convert_transformer_layout(abstract, saved_stages)
+        shardings = make_shardings(make_param_specs(inter), mesh)
+        inter = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                               sharding=sh),
+            inter, shardings)
+        restored = self._ckptr.restore(self.path(name), inter)
+        conv = _convert_transformer_layout(restored, tgt_stages)
+        return jax.tree.map(lambda v, t: jax.device_put(v, t.sharding),
+                            conv, abstract)
+
+    def _saved_layout_stages(self, name: str) -> Optional[int]:
+        try:
+            meta = self._ckptr.metadata(self.path(name)).item_metadata.tree
+        except Exception:
+            return None
+        params = meta.get("params") if isinstance(meta, dict) else None
+        return _transformer_layout_stages(params)
 
     def load_metadata(self, name: str) -> Optional[dict]:
         p = os.path.join(self.base, f"{name}.meta.json")

@@ -399,6 +399,15 @@ class _PipelineTicks(nn.Module):
         return new_carry, out_x[-1]
 
 
+def _reshape_leaf(leaf, shape):
+    """Reshape an array leaf, or re-shape a ShapeDtypeStruct (used when
+    converting ABSTRACT checkpoint-restore targets between layouts — the
+    struct's sharding is dropped; callers reattach via the spec rules)."""
+    if isinstance(leaf, jax.ShapeDtypeStruct):
+        return jax.ShapeDtypeStruct(shape, leaf.dtype)
+    return leaf.reshape(shape)
+
+
 def pipeline_stack_params(stack_params: dict, stages: int) -> dict:
     """Re-layout one T5Stack's params from the scanned-layer layout
     (``layers/block/…`` with a leading ``(num_layers, …)`` axis) to the
@@ -413,7 +422,8 @@ def pipeline_stack_params(stack_params: dict, stages: int) -> dict:
         n = leaf.shape[0]
         if n % stages:
             raise ValueError(f"layer count {n} not divisible by {stages}")
-        return leaf.reshape((stages, n // stages) + leaf.shape[1:])
+        return _reshape_leaf(leaf,
+                             (stages, n // stages) + tuple(leaf.shape[1:]))
 
     out["pipeline"] = {"stages": {"block": {
         "block": jax.tree.map(reshape, block)}}}
@@ -426,8 +436,9 @@ def unpipeline_stack_params(stack_params: dict) -> dict:
     out = {k: v for k, v in stack_params.items() if k != "pipeline"}
     block = stack_params["pipeline"]["stages"]["block"]["block"]
     out["layers"] = {"block": jax.tree.map(
-        lambda leaf: leaf.reshape((leaf.shape[0] * leaf.shape[1],)
-                                  + leaf.shape[2:]), block)}
+        lambda leaf: _reshape_leaf(
+            leaf, (leaf.shape[0] * leaf.shape[1],) + tuple(leaf.shape[2:])),
+        block)}
     return out
 
 

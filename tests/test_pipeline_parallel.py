@@ -178,6 +178,88 @@ def test_pipeline_trainer_matches_dense():
 
 
 @pytest.mark.slow
+def test_cross_pipeline_topology_resume(tmp_path):
+    """Elastic restart across pipeline topologies: a checkpoint saved by a
+    dense (stages=1) run restores into a pipelined (stages=2) trainer —
+    params AND Adam moments relayouted bit-exactly — and vice versa; the
+    continued losses match the uninterrupted dense run in both cases
+    (micro sizes are dropout-free)."""
+    from klab_multimodalmodel_tpu.checkpoint.io import CheckpointManager
+
+    def build(stages, devices=None):
+        cfg = Config(language_model_name="t5-pipe-micro",
+                     transformer_model_name="t5-pipe-micro",
+                     image_model_name="swin-pipe-micro",
+                     max_source_length=48, max_target_length=24,
+                     batch_size=1, compute_dtype="float32",
+                     mesh_shape=(2, 2, 1, 1, 2) if stages > 1
+                     else (-1, 1, 1),
+                     pipeline_stages=stages,
+                     pipeline_microbatches=2 if stages > 1 else 0,
+                     scan_unroll=1, data_dir="synthetic")
+        trainer = Trainer(cfg, make_mesh(cfg.mesh_shape, devices=devices),
+                          num_epochs=1)
+        return trainer, trainer.init_state(jax.random.PRNGKey(0), 8)
+
+    def batches(n):
+        ds = SyntheticCaptionDataset(n=32, image_size=32)
+        loader = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                            max_source_length=48, max_target_length=24,
+                            shuffle=False, seed=0)
+        it = iter(loader)
+        return [next(it) for _ in range(n)]
+
+    bs = batches(3)
+    dense_tr, dense_state = build(1)
+    dense_state, _ = dense_tr.train_step(
+        dense_state, dense_tr.device_put_batch(bs[0]), jax.random.PRNGKey(7))
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("step_1", dense_state)
+    ckpt.wait()
+    # train_step donates its input state — snapshot the saved params to
+    # host before the oracle continuation consumes the buffers.
+    dense_params_host = jax.device_get(dense_state.params)
+
+    # Uninterrupted dense continuation = the oracle.
+    oracle_losses = []
+    st = dense_state
+    for b in bs[1:]:
+        st, loss = dense_tr.train_step(st, dense_tr.device_put_batch(b),
+                                       jax.random.PRNGKey(7))
+        oracle_losses.append(float(loss))
+
+    # dense checkpoint -> pipelined trainer.
+    pipe_tr, pipe_state = build(2)
+    restored = ckpt.restore("step_1", pipe_state)
+    assert "pipeline" in jax.device_get(
+        restored.params)["transformer"]["encoder"]
+    want_params = pipeline_t5_params(dense_params_host["transformer"], 2)
+    got_params = jax.device_get(restored.params)["transformer"]
+    for k, v in _flat(want_params).items():
+        np.testing.assert_array_equal(np.asarray(_flat(got_params)[k]),
+                                      np.asarray(v), err_msg=k)
+    st = restored
+    pipe_losses = []
+    for b in bs[1:]:
+        st, loss = pipe_tr.train_step(st, pipe_tr.device_put_batch(b),
+                                      jax.random.PRNGKey(7))
+        pipe_losses.append(float(loss))
+    np.testing.assert_allclose(pipe_losses, oracle_losses, rtol=2e-5)
+    pipe_final = st
+
+    # pipelined checkpoint -> dense trainer (reverse direction).
+    ckpt.save("step_3", pipe_final)
+    ckpt.wait()
+    dense2_tr, dense2_state = build(1)
+    back = ckpt.restore("step_3", dense2_state)
+    assert "layers" in jax.device_get(
+        back.params)["transformer"]["encoder"]
+    st2, loss2 = dense2_tr.train_step(
+        back, dense2_tr.device_put_batch(bs[0]), jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss2))
+
+
+@pytest.mark.slow
 def test_pretrained_dense_checkpoint_into_pipelined_model(tmp_path):
     """--init_checkpoint with --pipeline_stages: the converter's dense
     scanned-layer checkpoint is re-laid out into the stage layout on load
