@@ -142,17 +142,17 @@ class Config:
 
     # --- TPU-native extensions ---
     seed: int = 0
-    # Mesh: data x fsdp x tensor x sequence x pipeline parallelism.
-    # -1 on the data axis means "all remaining devices". 3-tuples (the
-    # pre-seq/pipe layout) are accepted and right-padded with 1.
-    mesh_shape: tuple[int, ...] = (-1, 1, 1, 1, 1)
+    # Mesh: data x fsdp x tensor x sequence x pipeline x expert
+    # parallelism. -1 on the data axis means "all remaining devices".
+    # Shorter tuples (pre-seq/pipe/expert layouts) are right-padded with 1.
+    mesh_shape: tuple[int, ...] = (-1, 1, 1, 1, 1, 1)
     mesh_axis_names: tuple[str, ...] = ("data", "fsdp", "tensor", "seq",
-                                        "pipe")
+                                        "pipe", "expert")
     # Multi-slice pods: per-axis DCN factors (mesh_shape becomes the
     # PER-SLICE shape). E.g. (2, 1, 1) on two v5e-256 slices = data
     # parallel across slices over DCN, fsdp/tensor inside each slice over
     # ICI (utils/mesh.py:make_mesh). (1,1,1) = single slice.
-    dcn_mesh_shape: tuple[int, ...] = (1, 1, 1, 1, 1)
+    dcn_mesh_shape: tuple[int, ...] = (1, 1, 1, 1, 1, 1)
     # Compute dtype policy: params fp32, activations bf16 (MXU-native).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -219,6 +219,22 @@ class Config:
     # Microbatches per step for the pipeline (bubble fraction =
     # (S-1)/(M+S-1)). 0 = pipeline_stages. Must divide the per-step batch.
     pipeline_microbatches: int = 0
+    # Mixture-of-Experts (SURVEY.md §2D EP row — beyond the reference):
+    # replace every MLP of the MAIN transformer's blocks with a
+    # Switch-style sparse MoE of this many experts (each a full d_ff FFN).
+    # Expert weights and dispatched tokens shard over the mesh's
+    # ``expert`` axis (ops/moe.py; the all-to-alls are XLA-inserted).
+    # 0 = dense (default). The frozen towers stay dense. A fresh-trained
+    # architecture — no pretrained T5 checkpoint maps onto it.
+    moe_experts: int = 0
+    # Experts per token: 1 = Switch Transformer, 2 = GShard-style top-2.
+    moe_top_k: int = 1
+    # Per-expert slot capacity = ceil(top_k * tokens/experts * factor);
+    # overflowed tokens skip the MLP (residual passes them through).
+    moe_capacity_factor: float = 1.25
+    # Weight of the Switch load-balancing auxiliary loss added to the CE
+    # loss (the Switch paper's 1e-2 default).
+    moe_aux_loss_weight: float = 0.01
     # Quirk #3 compatibility (SURVEY.md §2A): the reference never builds
     # attention masks and does not mask pad positions out of the loss.
     # Defaults fix both; set True for bit-parity with the reference.
@@ -328,7 +344,7 @@ class Config:
         # Normalize mesh fields: 3-tuples (pre-seq-axis configs, incl. every
         # serialized run dir from earlier rounds) are right-padded to the
         # 4-axis (data, fsdp, tensor, seq) layout.
-        canonical = ("data", "fsdp", "tensor", "seq", "pipe")
+        canonical = ("data", "fsdp", "tensor", "seq", "pipe", "expert")
         names = tuple(self.mesh_axis_names)
         if names == canonical[:len(names)]:
             names = canonical
@@ -388,6 +404,27 @@ class Config:
             raise ValueError(
                 f"mesh pipe axis {_axis('pipe')} > 1 requires "
                 "--pipeline_stages to match")
+        if self.moe_experts > 0:
+            if self.moe_top_k not in (1, 2):
+                raise ValueError(
+                    f"moe_top_k={self.moe_top_k}: expected 1 (Switch) "
+                    "or 2 (GShard)")
+            if self.pipeline_stages > 1:
+                raise ValueError(
+                    "moe_experts > 0 with pipeline_stages > 1 is not "
+                    "supported (the MoE aux loss does not thread through "
+                    "the pipeline tick schedule); shard experts with the "
+                    "mesh expert axis instead")
+            if self.moe_experts % max(_axis("expert"), 1) != 0:
+                raise ValueError(
+                    f"moe_experts={self.moe_experts} must be divisible by "
+                    f"the mesh expert axis {_axis('expert')}")
+            if self.moe_capacity_factor <= 0:
+                raise ValueError("moe_capacity_factor must be positive")
+        elif _axis("expert") != 1:
+            raise ValueError(
+                f"mesh expert axis {_axis('expert')} > 1 requires "
+                "--moe_experts")
         if self.accumulation_tail not in ("pad", "drop", "error"):
             raise ValueError(
                 f"unknown accumulation_tail {self.accumulation_tail!r}")
@@ -531,6 +568,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         default=d.pipeline_stages)
     parser.add_argument("--pipeline_microbatches", type=int,
                         default=d.pipeline_microbatches)
+    parser.add_argument("--moe_experts", type=int, default=d.moe_experts)
+    parser.add_argument("--moe_top_k", type=int, default=d.moe_top_k)
+    parser.add_argument("--moe_capacity_factor", type=float,
+                        default=d.moe_capacity_factor)
+    parser.add_argument("--moe_aux_loss_weight", type=float,
+                        default=d.moe_aux_loss_weight)
     parser.add_argument("--reference_pad_quirks", action="store_true")
     parser.add_argument("--freeze_image_model_updates", action="store_true")
     parser.add_argument("--cache_frozen_features", action="store_true")

@@ -64,6 +64,9 @@ class MultiModalModel(nn.Module):
             use_pallas=cfg.use_pallas_t5_attention, ring_attention=ring,
             pipeline_stages=cfg.pipeline_stages,
             pipeline_microbatches=cfg.pipeline_microbatches,
+            moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_aux_loss_weight=cfg.moe_aux_loss_weight,
             name="transformer")
         d_model = cfg.transformer_t5.d_model
         vis_dim = cfg.swin.num_features
@@ -227,4 +230,8 @@ class MultiModalModel(nn.Module):
         ``params['transformer']`` directly."""
         return T5ForConditionalGeneration(
             self.config.transformer_t5, dtype=self.dtype,
-            remat=self.config.remat, scan_unroll=self.config.scan_unroll)
+            remat=self.config.remat, scan_unroll=self.config.scan_unroll,
+            moe_experts=self.config.moe_experts,
+            moe_top_k=self.config.moe_top_k,
+            moe_capacity_factor=self.config.moe_capacity_factor,
+            moe_aux_loss_weight=self.config.moe_aux_loss_weight)

@@ -231,13 +231,64 @@ class T5Mlp(nn.Module):
         return x
 
 
+class T5MoeMlp(nn.Module):
+    """Switch-style sparse MoE replacement for :class:`T5Mlp`.
+
+    ``num_experts`` un-gated ReLU FFNs (each the full ``d_ff`` geometry)
+    with a learned top-k router; tokens are dense-dispatched at fixed
+    capacity (``ops/moe.py``) so the whole layer is three einsums with
+    static shapes. Expert weights carry a leading ``(E, ...)`` axis
+    sharded over the mesh's ``expert`` axis (``parallel/partitioning.py``
+    ``experts_wi``/``experts_wo`` rules). Returns ``(y, aux)`` with ``aux``
+    the scalar Switch load-balancing loss for this layer.
+    """
+
+    size: T5Size
+    num_experts: int
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True
+                 ) -> tuple[jax.Array, jax.Array]:
+        from ..ops.moe import moe_capacity, moe_ffn, topk_routing
+
+        s, E = self.size, self.num_experts
+        # Router in fp32: routing decisions must not flip with the
+        # compute-dtype policy.
+        logits = nn.Dense(E, use_bias=False, dtype=jnp.float32,
+                          name="router",
+                          kernel_init=nn.initializers.normal(
+                              s.d_model ** -0.5))(x.astype(jnp.float32))
+        cap = moe_capacity(x.shape[1], E, self.top_k, self.capacity_factor)
+        combine, aux = topk_routing(logits, self.top_k, cap)
+        wi = self.param("experts_wi",
+                        nn.initializers.normal(s.d_model ** -0.5),
+                        (E, s.d_model, s.d_ff), jnp.float32)
+        wo = self.param("experts_wo",
+                        nn.initializers.normal(s.d_ff ** -0.5),
+                        (E, s.d_ff, s.d_model), jnp.float32)
+        rate = 0.0 if deterministic else s.dropout_rate
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        y = moe_ffn(x, combine, wi, wo, dropout_rate=rate, dropout_rng=rng)
+        return y.astype(x.dtype), aux
+
+
 class T5Block(nn.Module):
-    """Pre-norm residual block: self-attn [-> cross-attn] -> MLP."""
+    """Pre-norm residual block: self-attn [-> cross-attn] -> MLP.
+
+    With ``moe_experts > 0`` the MLP is a :class:`T5MoeMlp` and the block
+    returns ``(x, aux)``; dense blocks return ``x`` unchanged.
+    """
 
     size: T5Size
     has_cross_attention: bool = False
     dtype: Dtype = jnp.float32
     ring_attention: bool = False
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, self_bias, enc_out, cross_bias,
@@ -259,8 +310,17 @@ class T5Block(nn.Module):
                 deterministic=deterministic, decode=decode)
             x = x + drop(h, deterministic=deterministic)
         h = RMSNorm(epsilon=s.layer_norm_epsilon, name="ln_mlp")(x)
-        h = T5Mlp(s, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        aux = None
+        if self.moe_experts > 0:
+            h, aux = T5MoeMlp(s, self.moe_experts, self.moe_top_k,
+                              self.moe_capacity_factor, dtype=self.dtype,
+                              name="mlp")(h, deterministic=deterministic)
+        else:
+            h = T5Mlp(s, dtype=self.dtype, name="mlp")(
+                h, deterministic=deterministic)
         x = x + drop(h, deterministic=deterministic)
+        if self.moe_experts > 0:
+            return x, aux
         return x
 
 
@@ -277,22 +337,31 @@ class _ScanBlock(nn.Module):
     deterministic: bool
     decode: bool
     ring_attention: bool = False
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, carry, self_bias, enc_out, cross_bias, self_pack,
                  cross_pack):
-        x = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
-                    ring_attention=self.ring_attention,
-                    name="block")(carry, self_bias, enc_out, cross_bias,
-                                  self_pack=self_pack, cross_pack=cross_pack,
-                                  deterministic=self.deterministic,
-                                  decode=self.decode)
+        out = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
+                      ring_attention=self.ring_attention,
+                      moe_experts=self.moe_experts,
+                      moe_top_k=self.moe_top_k,
+                      moe_capacity_factor=self.moe_capacity_factor,
+                      name="block")(carry, self_bias, enc_out, cross_bias,
+                                    self_pack=self_pack,
+                                    cross_pack=cross_pack,
+                                    deterministic=self.deterministic,
+                                    decode=self.decode)
+        # MoE blocks emit (x, per-layer aux loss) into the scan ys.
+        x, aux = out if self.moe_experts > 0 else (out, None)
         if not self.decode:
             # Sequence parallelism: re-pin every layer's carry to the seq
             # axis so per-token work stays sharded through the whole stack
             # (no-op without a seq>1 ambient mesh).
             x = seq_constraint(x)
-        return x, None
+        return x, aux
 
 
 class _StageBlocks(nn.Module):
@@ -490,6 +559,11 @@ class T5Stack(nn.Module):
     # incremental decode needs unpipeline_t5_params + a stages=1 model.
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0
+    # Sparse MoE MLPs (--moe_experts): every block's MLP becomes a
+    # T5MoeMlp and __call__ returns (hidden, aux_loss) instead of hidden.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array,
@@ -512,6 +586,10 @@ class T5Stack(nn.Module):
                     "incremental decode with a pipelined stack: convert "
                     "params with unpipeline_t5_params and run a "
                     "pipeline_stages=1 model")
+            if self.moe_experts > 0:
+                raise ValueError(
+                    "moe_experts > 0 with pipeline_stages > 1 is not "
+                    "supported (config validation should have caught this)")
             x = self._pipelined(x, head_bias, kmask, enc_out, cross_kmask,
                                 deterministic)
             x = RMSNorm(epsilon=s.layer_norm_epsilon,
@@ -554,11 +632,15 @@ class T5Stack(nn.Module):
             unroll=self.num_layers if self.scan_unroll == 0
             else self.scan_unroll,
         )(s, self.is_decoder, self.dtype, deterministic, decode,
-          self.ring_attention, name="layers")
-        x, _ = blocks(x, self_bias, enc_out, cross_bias, self_pack,
-                      cross_pack)
+          self.ring_attention, self.moe_experts, self.moe_top_k,
+          self.moe_capacity_factor, name="layers")
+        x, aux_stack = blocks(x, self_bias, enc_out, cross_bias, self_pack,
+                              cross_pack)
         x = RMSNorm(epsilon=s.layer_norm_epsilon, name="final_layer_norm")(x)
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
+        if self.moe_experts > 0:
+            # aux_stack: (num_layers,) per-layer Switch balance losses.
+            return x, jnp.sum(aux_stack)
         return x
 
     def _pipelined(self, x, head_bias, kmask, enc_out, cross_kmask,
@@ -683,6 +765,10 @@ class Seq2SeqOutput:
     loss: Optional[jax.Array]
     logits: jax.Array
     encoder_last_hidden_state: jax.Array
+    # MoE only (--moe_experts): the summed Switch load-balancing loss of
+    # both stacks. ``loss`` already includes it times moe_aux_loss_weight;
+    # surfaced raw here for logging.
+    aux_loss: Optional[jax.Array] = None
 
 
 def shift_right(labels: jax.Array, decoder_start_token_id: int,
@@ -724,6 +810,13 @@ class T5ForConditionalGeneration(nn.Module):
     ring_attention: bool = False
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0
+    # Sparse MoE MLPs in both stacks (--moe_experts; ops/moe.py). The
+    # Switch aux loss is folded into ``Seq2SeqOutput.loss`` with weight
+    # ``moe_aux_loss_weight`` and surfaced raw as ``aux_loss``.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_weight: float = 0.01
 
     def setup(self):
         s = self.size
@@ -745,6 +838,9 @@ class T5ForConditionalGeneration(nn.Module):
                                ring_attention=self.ring_attention,
                                pipeline_stages=self.pipeline_stages,
                                pipeline_microbatches=self.pipeline_microbatches,
+                               moe_experts=self.moe_experts,
+                               moe_top_k=self.moe_top_k,
+                               moe_capacity_factor=self.moe_capacity_factor,
                                name="encoder")
         self.decoder = T5Stack(s, s.num_decoder_layers, is_decoder=True,
                                dtype=self.dtype, remat=self.remat,
@@ -753,6 +849,9 @@ class T5ForConditionalGeneration(nn.Module):
                                ring_attention=self.ring_attention,
                                pipeline_stages=self.pipeline_stages,
                                pipeline_microbatches=self.pipeline_microbatches,
+                               moe_experts=self.moe_experts,
+                               moe_top_k=self.moe_top_k,
+                               moe_capacity_factor=self.moe_capacity_factor,
                                name="decoder")
         if not s.tie_word_embeddings:
             self.lm_head = nn.Dense(
@@ -761,14 +860,26 @@ class T5ForConditionalGeneration(nn.Module):
                 name="lm_head")
 
     # -- pieces -----------------------------------------------------------
+    def _split_aux(self, stack_out):
+        """MoE stacks return (hidden, aux); dense stacks return hidden."""
+        if self.moe_experts > 0:
+            return stack_out
+        return stack_out, None
+
     def encode(self, input_ids=None, inputs_embeds=None, attention_mask=None,
                deterministic: bool = True) -> jax.Array:
+        enc, _ = self._encode_with_aux(input_ids, inputs_embeds,
+                                       attention_mask, deterministic)
+        return enc
+
+    def _encode_with_aux(self, input_ids=None, inputs_embeds=None,
+                         attention_mask=None, deterministic: bool = True):
         if inputs_embeds is None:
             inputs_embeds = self.shared(input_ids)
         L = inputs_embeds.shape[1]
-        return self.encoder(inputs_embeds, head_bias=self.enc_relpos(L, L)[0],
-                            kmask=attention_mask,
-                            deterministic=deterministic)
+        return self._split_aux(self.encoder(
+            inputs_embeds, head_bias=self.enc_relpos(L, L)[0],
+            kmask=attention_mask, deterministic=deterministic))
 
     def _lm_logits(self, hidden: jax.Array) -> jax.Array:
         s = self.size
@@ -780,15 +891,25 @@ class T5ForConditionalGeneration(nn.Module):
     def decode_train(self, decoder_input_ids, encoder_hidden,
                      encoder_attention_mask=None, decoder_attention_mask=None,
                      deterministic: bool = True) -> jax.Array:
+        logits, _ = self._decode_train_with_aux(
+            decoder_input_ids, encoder_hidden, encoder_attention_mask,
+            decoder_attention_mask, deterministic)
+        return logits
+
+    def _decode_train_with_aux(self, decoder_input_ids, encoder_hidden,
+                               encoder_attention_mask=None,
+                               decoder_attention_mask=None,
+                               deterministic: bool = True):
         L = decoder_input_ids.shape[1]
         dec_embeds = self.shared(decoder_input_ids)
         head_bias = self.dec_relpos(L, L)[0] + causal_bias(L)[0, 0]
-        hidden = self.decoder(dec_embeds, head_bias=head_bias,
-                              kmask=decoder_attention_mask,
-                              enc_out=encoder_hidden,
-                              cross_kmask=encoder_attention_mask,
-                              deterministic=deterministic)
-        return self._lm_logits(hidden)
+        hidden, aux = self._split_aux(self.decoder(
+            dec_embeds, head_bias=head_bias,
+            kmask=decoder_attention_mask,
+            enc_out=encoder_hidden,
+            cross_kmask=encoder_attention_mask,
+            deterministic=deterministic))
+        return self._lm_logits(hidden), aux
 
     def decode_step(self, decoder_input_token: jax.Array, step: jax.Array,
                     encoder_hidden: jax.Array, max_decode_len: int,
@@ -801,10 +922,11 @@ class T5ForConditionalGeneration(nn.Module):
         # Bias row for the current step against the full cache length.
         full_bias = self.dec_relpos(max_decode_len, max_decode_len)[0]
         head_bias = jax.lax.dynamic_slice_in_dim(full_bias, step, 1, axis=1)
-        hidden = self.decoder(dec_embeds, head_bias=head_bias,
-                              enc_out=encoder_hidden,
-                              cross_kmask=encoder_attention_mask,
-                              deterministic=True, decode=True)
+        hidden, _ = self._split_aux(self.decoder(
+            dec_embeds, head_bias=head_bias,
+            enc_out=encoder_hidden,
+            cross_kmask=encoder_attention_mask,
+            deterministic=True, decode=True))
         return self._lm_logits(hidden)
 
     # -- main entry -------------------------------------------------------
@@ -813,17 +935,23 @@ class T5ForConditionalGeneration(nn.Module):
                  decoder_attention_mask=None, label_weights=None,
                  deterministic: bool = True) -> Seq2SeqOutput:
         s = self.size
-        enc = self.encode(input_ids, inputs_embeds, attention_mask,
-                          deterministic)
+        enc, enc_aux = self._encode_with_aux(input_ids, inputs_embeds,
+                                             attention_mask, deterministic)
         if decoder_input_ids is None:
             decoder_input_ids = shift_right(
                 labels, s.decoder_start_token_id, s.pad_token_id)
-        logits = self.decode_train(decoder_input_ids, enc,
-                                   encoder_attention_mask=attention_mask,
-                                   decoder_attention_mask=decoder_attention_mask,
-                                   deterministic=deterministic)
+        logits, dec_aux = self._decode_train_with_aux(
+            decoder_input_ids, enc,
+            encoder_attention_mask=attention_mask,
+            decoder_attention_mask=decoder_attention_mask,
+            deterministic=deterministic)
+        aux = None
+        if self.moe_experts > 0:
+            aux = enc_aux + dec_aux
         loss = None
         if labels is not None:
             loss = cross_entropy_loss(logits, labels, label_weights)
+            if aux is not None:
+                loss = loss + self.moe_aux_loss_weight * aux
         return Seq2SeqOutput(loss=loss, logits=logits,
-                             encoder_last_hidden_state=enc)
+                             encoder_last_hidden_state=enc, aux_loss=aux)

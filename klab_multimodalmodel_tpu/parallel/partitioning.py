@@ -11,7 +11,10 @@ Axes:
   * ``fsdp``   — ZeRO-style parameter/optimizer sharding on one weight axis;
   * ``tensor`` — megatron TP: attention heads / MLP hidden / vocab sharded
     (warranted because t5-3b/11b are in the reference's flag choices,
-    ``/root/reference/modules/config.py:8-9``).
+    ``/root/reference/modules/config.py:8-9``);
+  * ``seq`` / ``pipe`` / ``expert`` — activation sequence dims (context
+    parallelism), pipeline stages, and MoE expert weights + dispatched
+    tokens (see the ``*_constraint`` helpers below).
 
 Scanned stacks have a leading layer axis (never sharded). Rules match on the
 ``/``-joined parameter path suffix.
@@ -38,6 +41,11 @@ _RULES: list[tuple[str, P]] = [
     # T5 MLP: wi expands (shard d_ff on tensor), wo contracts.
     (r"mlp/wi/kernel$", P("fsdp", "tensor")),
     (r"mlp/wo/kernel$", P("tensor", "fsdp")),
+    # MoE expert FFNs: leading experts axis over ``expert``, then the dense
+    # rules' layout per expert. The router stays replicated (tiny).
+    (r"mlp/experts_wi$", P("expert", "fsdp", "tensor")),
+    (r"mlp/experts_wo$", P("expert", "tensor", "fsdp")),
+    (r"mlp/router/kernel$", P("fsdp", None)),
     # Embeddings / LM head: shard vocab on tensor (XLA handles the gather).
     (r"shared/embedding$", P("tensor", "fsdp")),
     (r"lm_head/kernel$", P("fsdp", "tensor")),
@@ -174,6 +182,31 @@ def pipe_constraint(x: jax.Array) -> jax.Array:
         return x
     spec = [None] * x.ndim
     spec[0] = "pipe"
+    if x.ndim > 1:
+        spec[1] = ("data", "fsdp")
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+def expert_constraint(x: jax.Array) -> jax.Array:
+    """Constrain a dispatched MoE buffer's leading (experts) dim onto the
+    ``expert`` mesh axis.
+
+    Dispatched tensors are ``(E, G, C, D)`` (ops/moe.py): experts over
+    ``expert``, token groups over the data-like axes. With token
+    activations sharded over data and expert weights over ``expert``, this
+    constraint is where the XLA SPMD partitioner inserts the token
+    all-to-all of expert parallelism. No-op without an ambient mesh with a
+    nontrivial ``expert`` axis, so dense and single-chip paths compile
+    byte-identically.
+    """
+    mesh = _ambient_mesh()
+    if (mesh is None or "expert" not in mesh.axis_names
+            or mesh.shape["expert"] == 1):
+        return x
+    if x.shape[0] % mesh.shape["expert"] != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "expert"
     if x.ndim > 1:
         spec[1] = ("data", "fsdp")
     return jax.lax.with_sharding_constraint(x, P(*spec))

@@ -49,7 +49,7 @@ def maybe_init_distributed() -> None:
     jax.distributed.initialize(**kwargs)
 
 
-DEFAULT_AXIS_NAMES = ("data", "fsdp", "tensor", "seq", "pipe")
+DEFAULT_AXIS_NAMES = ("data", "fsdp", "tensor", "seq", "pipe", "expert")
 
 
 def pad_mesh_shape(mesh_shape: Sequence[int],
@@ -59,7 +59,7 @@ def pad_mesh_shape(mesh_shape: Sequence[int],
 
     Lets 3-tuple ``(data, fsdp, tensor)`` shapes (the pre-seq-axis layout,
     still what most call sites and serialized configs pass) address the
-    5-axis ``(data, fsdp, tensor, seq, pipe)`` mesh unchanged.
+    6-axis ``(data, fsdp, tensor, seq, pipe, expert)`` mesh unchanged.
     """
     shape = tuple(int(s) for s in mesh_shape)
     if len(shape) > n_axes:
@@ -109,9 +109,10 @@ def make_mesh(mesh_shape: Sequence[int] = (-1, 1, 1, 1, 1),
     granule falls back to the process boundary, which is how
     tests/test_multiprocess.py executes this path without a pod.
 
-    ``seq`` shards activation sequence dims (context parallelism) and
+    ``seq`` shards activation sequence dims (context parallelism),
     ``pipe`` shards the transformer layer stacks into pipeline stages
-    (``--pipeline_stages``); both default to 1.
+    (``--pipeline_stages``), and ``expert`` shards MoE expert weights and
+    dispatched tokens (``--moe_experts``); all default to 1.
     """
     devices = list(devices) if devices is not None else jax.devices()
     axis_names = tuple(axis_names)

@@ -61,29 +61,39 @@ def test_t5_size_table():
 def test_config_json_roundtrip(tmp_path):
     cfg = Config(result_dir=str(tmp_path), mesh_shape=(2, 2, 2),
                  lr_scheduler="cosine", num_epochs=3)
-    # 3-tuple (pre-seq/pipe-axis) shapes are right-padded to 5 axes.
-    assert cfg.mesh_shape == (2, 2, 2, 1, 1)
+    # 3-tuple (pre-seq/pipe-axis) shapes are right-padded to 6 axes.
+    assert cfg.mesh_shape == (2, 2, 2, 1, 1, 1)
     path = cfg.save()
     with open(path) as f:
         restored = Config.from_json(f.read())
-    assert restored.mesh_shape == (2, 2, 2, 1, 1)
+    assert restored.mesh_shape == (2, 2, 2, 1, 1, 1)
     assert restored.mesh_axis_names == ("data", "fsdp", "tensor", "seq",
-                                        "pipe")
+                                        "pipe", "expert")
     assert restored.lr_scheduler == "cosine"
     assert restored.num_epochs == 3
 
 
 def test_mesh_shape_seq_axis_cli():
-    """--mesh_shape accepts 3 ints (legacy), 4 (seq) or 5 (seq + pipe)."""
+    """--mesh_shape accepts 3 ints (legacy) up to 6 (seq/pipe/expert)."""
     cfg3 = parse_arguments(["--mesh_shape", "2", "2", "2"])
-    assert cfg3.mesh_shape == (2, 2, 2, 1, 1)
+    assert cfg3.mesh_shape == (2, 2, 2, 1, 1, 1)
     cfg4 = parse_arguments(["--mesh_shape", "2", "1", "1", "4"])
-    assert cfg4.mesh_shape == (2, 1, 1, 4, 1)
+    assert cfg4.mesh_shape == (2, 1, 1, 4, 1, 1)
     cfg5 = parse_arguments(["--mesh_shape", "2", "1", "1", "1", "2",
                             "--pipeline_stages", "2"])
-    assert cfg5.mesh_shape == (2, 1, 1, 1, 2)
+    assert cfg5.mesh_shape == (2, 1, 1, 1, 2, 1)
+    cfg6 = parse_arguments(["--mesh_shape", "2", "1", "1", "1", "1", "4",
+                            "--moe_experts", "4"])
+    assert cfg6.mesh_shape == (2, 1, 1, 1, 1, 4)
     with pytest.raises(ValueError):
         Config(mesh_shape=(2, 2))
+    # expert axis > 1 without --moe_experts is rejected.
+    with pytest.raises(ValueError):
+        Config(mesh_shape=(2, 1, 1, 1, 1, 4))
+    # moe is incompatible with the pipeline schedule.
+    with pytest.raises(ValueError):
+        Config(moe_experts=4, pipeline_stages=2,
+               mesh_shape=(2, 1, 1, 1, 2, 1))
 
 
 def test_mesh_shape_resolution():

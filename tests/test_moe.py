@@ -1,0 +1,255 @@
+"""Mixture-of-Experts (--moe_experts) + expert parallelism correctness.
+
+The MoE layer (models/t5.py ``T5MoeMlp`` over ops/moe.py) must:
+  * degenerate exactly to the dense ``T5Mlp`` with one expert and full
+    capacity (the correctness anchor — routing with E=1 is the identity);
+  * respect fixed capacity and produce the Switch balance loss (~1.0 at
+    uniform routing);
+  * compute the same loss/gradients whether expert weights live on one
+    device or are sharded over the mesh's ``expert`` axis (the XLA
+    all-to-all lowering changes WHERE, never WHAT);
+  * train end-to-end through the three-tower Trainer and decode through
+    the KV-cache path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
+                                             register_swin_size,
+                                             register_t5_size)
+from klab_multimodalmodel_tpu.models.t5 import (T5ForConditionalGeneration,
+                                                T5Mlp, T5MoeMlp)
+from klab_multimodalmodel_tpu.ops.moe import (moe_capacity, moe_ffn,
+                                              topk_routing)
+from klab_multimodalmodel_tpu.parallel.partitioning import (
+    make_param_shardings, make_param_specs)
+from klab_multimodalmodel_tpu.utils import make_mesh
+
+SIZE = T5Size(d_model=32, d_kv=8, d_ff=64, num_layers=2,
+              num_decoder_layers=2, num_heads=4, vocab_size=128,
+              relative_attention_num_buckets=8,
+              relative_attention_max_distance=16, dropout_rate=0.0)
+
+register_t5_size("t5-moe-micro", T5Size(
+    d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
+    num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+    relative_attention_max_distance=16, dropout_rate=0.0))
+register_swin_size("swin-moe-micro", SwinV2Size(
+    image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+    num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+    pretrained_window_sizes=(0, 0)))
+
+
+def _t5_inputs(seed=0, B=4, Ls=16, Lt=12):
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(3, SIZE.vocab_size, (B, Ls)))
+    mask = jnp.asarray((rng.rand(B, Ls) > 0.2).astype(np.float32))
+    labels = jnp.asarray(rng.randint(3, SIZE.vocab_size, (B, Lt)))
+    return ids, mask, labels
+
+
+def _flat(tree):
+    return {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def test_moe_single_expert_matches_dense():
+    """E=1 with full capacity is the dense MLP: one expert, gate=1, every
+    token fits — outputs must be exactly equal on shared weights."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 32), jnp.float32)
+    moe = T5MoeMlp(SIZE, num_experts=1, top_k=1, capacity_factor=8.0)
+    mvars = moe.init(jax.random.PRNGKey(0), x)
+    dense = T5Mlp(SIZE)
+    dvars = {"params": {
+        "wi": {"kernel": mvars["params"]["experts_wi"][0]},
+        "wo": {"kernel": mvars["params"]["experts_wo"][0]}}}
+    y_moe, aux = moe.apply(mvars, x)
+    y_dense = dense.apply(dvars, x)
+    np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                               rtol=1e-6, atol=1e-7)
+    # One expert: perfectly "balanced" by definition -> aux == 1.
+    np.testing.assert_allclose(float(aux), 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_routing_semantics(top_k):
+    G, S, E = 2, 16, 4
+    cap = moe_capacity(S, E, top_k, 1.25)
+    assert cap == -(-top_k * S * 1.25 // E)
+    logits = jnp.asarray(np.random.RandomState(1).randn(G, S, E),
+                         jnp.float32)
+    combine, aux = topk_routing(logits, top_k, cap)
+    c = np.asarray(combine)
+    assert c.shape == (G, S, E, cap)
+    # Each expert slot holds at most one token; each expert at most cap.
+    assert (c > 0).sum(axis=(1,)).max() <= 1 + 1e-6  # per (g, e, c) slot
+    assert (c > 0).any(axis=3).sum(axis=1).max() <= cap
+    # A routed token's gate equals its softmax prob for that expert.
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    gates = c.sum(axis=3)  # (G, S, E)
+    routed = gates > 0
+    np.testing.assert_allclose(gates[routed],
+                               probs[routed], rtol=1e-6)
+    assert np.isfinite(float(aux))
+
+
+def test_moe_uniform_routing_aux_is_one():
+    """Uniform router probs + perfectly balanced assignment => the Switch
+    loss sits at its minimum E * E*(1/E * 1/E) = 1."""
+    G, S, E = 1, 16, 4
+    # Round-robin logits: token i strongly prefers expert i % E, but with
+    # all experts equally loaded overall and near-uniform softmax mass.
+    base = np.full((G, S, E), 0.0, np.float32)
+    for i in range(S):
+        base[0, i, i % E] = 60.0  # saturates softmax -> f_e = 1/E exactly
+    combine, aux = topk_routing(jnp.asarray(base), 1, moe_capacity(S, E, 1, 1.0))
+    np.testing.assert_allclose(float(aux), 1.0, rtol=1e-5)
+
+
+def test_moe_capacity_drops_overflow():
+    """All tokens prefer expert 0 with capacity 2: only 2 slots filled,
+    the rest contribute zero (the residual path carries them)."""
+    G, S, E, cap = 1, 8, 4, 2
+    logits = np.zeros((G, S, E), np.float32)
+    logits[..., 0] = 10.0
+    combine, _ = topk_routing(jnp.asarray(logits), 1, cap)
+    gates = np.asarray(combine).sum(axis=(2, 3))[0]  # per-token total gate
+    assert (gates[:2] > 0).all() and (gates[2:] == 0).all()
+    x = jnp.asarray(np.random.RandomState(0).randn(G, S, 16), jnp.float32)
+    wi = jnp.asarray(np.random.RandomState(1).randn(E, 16, 32) * 0.1,
+                     jnp.float32)
+    wo = jnp.asarray(np.random.RandomState(2).randn(E, 32, 16) * 0.1,
+                     jnp.float32)
+    y = moe_ffn(x, combine, wi, wo)
+    assert np.abs(np.asarray(y)[0, 2:]).max() == 0.0
+    assert np.abs(np.asarray(y)[0, :2]).max() > 0.0
+
+
+def test_moe_model_loss_includes_weighted_aux():
+    ids, mask, labels = _t5_inputs()
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_aux_loss_weight=0.01)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask, labels=labels)["params"]
+    out = model.apply({"params": params}, input_ids=ids,
+                      attention_mask=mask, labels=labels)
+    assert out.aux_loss is not None and np.isfinite(float(out.aux_loss))
+    zero_w = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                        moe_aux_loss_weight=0.0)
+    out0 = zero_w.apply({"params": params}, input_ids=ids,
+                        attention_mask=mask, labels=labels)
+    np.testing.assert_allclose(
+        float(out.loss), float(out0.loss) + 0.01 * float(out.aux_loss),
+        rtol=1e-6)
+    # Router and expert weights both receive gradient.
+    g = jax.grad(lambda p: model.apply(
+        {"params": p}, input_ids=ids, attention_mask=mask,
+        labels=labels).loss)(params)
+    mlp_g = g["encoder"]["layers"]["block"]["mlp"]
+    assert float(jnp.linalg.norm(mlp_g["experts_wi"])) > 0
+    assert float(jnp.linalg.norm(mlp_g["router"]["kernel"])) > 0
+
+
+def test_moe_expert_parallel_equivalence():
+    """Loss and gradients on a (2,1,1,1,1,4) data x expert mesh equal the
+    single-device values — the expert all-to-all changes placement only."""
+    ids, mask, labels = _t5_inputs(B=8)
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask, labels=labels)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, input_ids=ids,
+                           attention_mask=mask, labels=labels).loss
+
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh((2, 1, 1, 1, 1, 4))
+    shardings = make_param_shardings(params, mesh)
+    specs = _flat(make_param_specs(params))
+    wi_spec = specs["['encoder']['layers']['block']['mlp']['experts_wi']"]
+    assert "expert" in jax.tree_util.tree_leaves(tuple(wi_spec)), wi_spec
+    p_sh = jax.device_put(params, shardings)
+    with mesh:
+        sh_loss, sh_grads = jax.jit(jax.value_and_grad(loss_fn))(p_sh)
+    np.testing.assert_allclose(float(sh_loss), float(base_loss), rtol=1e-6)
+    fb, fs = _flat(base_grads), _flat(jax.device_get(sh_grads))
+    for k in fb:
+        np.testing.assert_allclose(np.asarray(fs[k]), np.asarray(fb[k]),
+                                   rtol=5e-5, atol=1e-7, err_msg=k)
+
+
+def test_moe_decode_step_matches_decode_train():
+    """The KV-cache decode path routes each token exactly as the
+    teacher-forced path does: step-0 logits must agree."""
+    ids, mask, _ = _t5_inputs()
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4)
+    B = ids.shape[0]
+    start = jnp.zeros((B, 1), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask,
+                        labels=jnp.zeros((B, 4), jnp.int32))["params"]
+    enc = model.apply({"params": params}, input_ids=ids,
+                      attention_mask=mask, method=model.encode)
+    train_logits = model.apply({"params": params}, start, enc,
+                               mask, method=model.decode_train)
+    step_logits, _ = model.apply(
+        {"params": params}, start, jnp.asarray(0, jnp.int32), enc, 4, mask,
+        method=model.decode_step, mutable=["cache"])
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(train_logits[:, 0]),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_moe_trainer_end_to_end():
+    """Full three-tower Trainer with --moe_experts 4 on a data x expert
+    mesh: two Adam steps run, losses are finite and the expert weights
+    move; greedy decode works through the same params."""
+    from klab_multimodalmodel_tpu.data import (DataLoader,
+                                               SyntheticCaptionDataset)
+    from klab_multimodalmodel_tpu.infer.generate import greedy_decode
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+    from klab_multimodalmodel_tpu.train import Trainer
+
+    cfg = Config(language_model_name="t5-moe-micro",
+                 transformer_model_name="t5-moe-micro",
+                 image_model_name="swin-moe-micro",
+                 max_source_length=48, max_target_length=24,
+                 batch_size=1, compute_dtype="float32",
+                 mesh_shape=(2, 1, 1, 1, 1, 4),
+                 moe_experts=4, moe_top_k=2,
+                 scan_unroll=1, data_dir="synthetic")
+    trainer = Trainer(cfg, make_mesh(cfg.mesh_shape), num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)
+    wi0 = np.asarray(jax.device_get(
+        state.params["transformer"]["encoder"]["layers"]["block"]["mlp"]
+        ["experts_wi"]))
+
+    ds = SyntheticCaptionDataset(n=16, image_size=32)
+    loader = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                        max_source_length=48, max_target_length=24,
+                        shuffle=False, seed=0)
+    it = iter(loader)
+    losses = []
+    for _ in range(2):
+        state, loss = trainer.train_step(
+            state, trainer.device_put_batch(next(it)), jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    wi1 = np.asarray(jax.device_get(
+        state.params["transformer"]["encoder"]["layers"]["block"]["mlp"]
+        ["experts_wi"]))
+    assert np.abs(wi1 - wi0).max() > 0
+
+    tf = trainer.model.transformer_module()
+    tparams = jax.device_get(state.params)["transformer"]
+    enc = tf.apply({"params": tparams},
+                   input_ids=jnp.zeros((2, 8), jnp.int32),
+                   method=tf.encode)
+    toks = greedy_decode(tf, tparams, enc, None, 6)
+    assert toks.shape == (2, 6)

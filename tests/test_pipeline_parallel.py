@@ -346,4 +346,4 @@ def test_pipeline_config_validation():
     with pytest.raises(ValueError, match="ring"):
         Config(pipeline_stages=2, seq_attention="ring", **common)
     cfg = Config(mesh_shape=(2, 1, 1, 1, 2), pipeline_stages=2, **common)
-    assert cfg.mesh_shape == (2, 1, 1, 1, 2)
+    assert cfg.mesh_shape == (2, 1, 1, 1, 2, 1)
