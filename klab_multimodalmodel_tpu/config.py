@@ -223,7 +223,7 @@ class Config:
     # replace every MLP of the MAIN transformer's blocks with a
     # Switch-style sparse MoE of this many experts (each a full d_ff FFN).
     # Expert weights and dispatched tokens shard over the mesh's
-    # ``expert`` axis (ops/moe.py; the all-to-alls are XLA-inserted).
+    # ``expert`` axis (ops/moe.py; the token exchange is XLA-inserted).
     # 0 = dense (default). The frozen towers stay dense. A fresh-trained
     # architecture — no pretrained T5 checkpoint maps onto it.
     moe_experts: int = 0

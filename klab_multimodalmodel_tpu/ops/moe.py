@@ -12,7 +12,8 @@ GSPMD way ("How to Scale Your Model" / GShard):
   * expert weights carry a leading ``(experts, ...)`` axis sharded over the
     mesh's ``expert`` axis (``parallel/partitioning.py``), and the
     dispatched activations are constrained to the same axis — the XLA SPMD
-    partitioner inserts the token all-to-alls over ICI;
+    partitioner inserts the token-exchange collectives over ICI
+    (all-to-all, or all-gather + reduce where its cost model prefers);
   * tokens overflowing an expert's capacity are dropped from the MLP (the
     residual connection still carries them — standard Switch semantics),
     and the load-balancing auxiliary loss (Switch eq. 4) pushes the router
@@ -119,7 +120,7 @@ def moe_ffn(x: jax.Array, combine: jax.Array, wi: jax.Array, wo: jax.Array,
     The dispatched tensor ``(E, G, C, D)`` is sharded over the ``expert``
     mesh axis (``expert_constraint``); with ``x`` sharded over the data
     axes and ``wi/wo`` over ``expert``, XLA lowers the two boundary
-    einsums to all-to-alls over ICI.
+    einsums to the token exchange over ICI.
     """
     dispatch = (combine > 0).astype(x.dtype)           # (G, S, E, C)
     expert_in = jnp.einsum("gsec,gsd->egcd", dispatch, x)

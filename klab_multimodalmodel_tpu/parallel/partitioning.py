@@ -195,7 +195,8 @@ def expert_constraint(x: jax.Array) -> jax.Array:
     ``expert``, token groups over the data-like axes. With token
     activations sharded over data and expert weights over ``expert``, this
     constraint is where the XLA SPMD partitioner inserts the token
-    all-to-all of expert parallelism. No-op without an ambient mesh with a
+    exchange of expert parallelism (all-to-all, or all-gather + reduce
+    where its cost model prefers). No-op without an ambient mesh with a
     nontrivial ``expert`` axis, so dense and single-chip paths compile
     byte-identically.
     """

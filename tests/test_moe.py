@@ -183,6 +183,30 @@ def test_moe_expert_parallel_equivalence():
                                    rtol=5e-5, atol=1e-7, err_msg=k)
 
 
+def test_moe_expert_axis_inserts_collectives():
+    """A pure-EP mesh (1,1,1,1,1,8) must actually move tokens: the
+    dispatched buffer is expert-sharded while activations are replicated
+    across the expert axis, so the compiled loss must contain the token
+    exchange (all-to-all, or the all-gather + all-reduce pair XLA's cost
+    model picks at small scale)."""
+    ids, mask, labels = _t5_inputs(B=8)
+    model = T5ForConditionalGeneration(SIZE, moe_experts=8)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask, labels=labels)["params"]
+    mesh = make_mesh((1, 1, 1, 1, 1, 8))
+    p_sh = jax.device_put(params, make_param_shardings(params, mesh))
+
+    def loss_fn(p):
+        return model.apply({"params": p}, input_ids=ids,
+                           attention_mask=mask, labels=labels).loss
+
+    with mesh:
+        txt = jax.jit(loss_fn).lower(p_sh).compile().as_text()
+    n = (txt.count("all-to-all") + txt.count("all-gather")
+         + txt.count("all-reduce"))
+    assert n > 0, "expert axis did not partition anything"
+
+
 def test_moe_decode_step_matches_decode_train():
     """The KV-cache decode path routes each token exactly as the
     teacher-forced path does: step-0 logits must agree."""
