@@ -43,6 +43,24 @@ def test_reference_recipe_flags_parse():
     assert cfg.accumulation_steps == 2 and cfg.num_steps == 10000
 
 
+def test_every_shipped_recipe_parses():
+    """Every run_scripts/**/*.sh must parse through the real CLI — a
+    recipe with a typo'd or removed flag should fail here, not at launch."""
+    import pathlib
+    import shlex
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "run_scripts"
+    scripts = sorted(root.glob("*/*.sh"))
+    assert len(scripts) >= 7
+    for script in scripts:
+        text = script.read_text()
+        assert "python train.py" in text, script
+        args = shlex.split(
+            text.split("python train.py", 1)[1].replace("\\\n", " "))
+        cfg = parse_arguments(args)
+        assert cfg.result_dir.startswith("results/"), script
+
+
 def test_scheduler_choices_enforced():
     with pytest.raises(SystemExit):
         build_arg_parser().parse_args(["--lr_scheduler", "bogus"])
