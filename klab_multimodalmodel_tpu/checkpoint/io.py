@@ -110,12 +110,13 @@ def _convert_transformer_layout(node: Any, to_stages: int) -> Any:
     from ..models.t5 import pipeline_t5_params, unpipeline_t5_params
 
     def conv(tr):
-        pipelined = isinstance(tr.get("encoder"), dict) and \
-            "pipeline" in tr["encoder"]
-        if to_stages > 1 and not pipelined:
-            return pipeline_t5_params(tr, to_stages)
-        if to_stages == 1 and pipelined:
-            return unpipeline_t5_params(tr)
+        cur = _transformer_layout_stages({"transformer": tr}) or 1
+        if cur == to_stages:
+            return tr
+        if cur > 1:  # any pipelined layout -> dense first (pure reshape)
+            tr = unpipeline_t5_params(tr)
+        if to_stages > 1:
+            tr = pipeline_t5_params(tr, to_stages)
         return tr
 
     def walk(n):
@@ -180,10 +181,11 @@ class CheckpointManager:
 
         Elastic restart across PIPELINE topologies (the pipeline analogue
         of the cross-process-count resume): when the checkpoint's
-        transformer layout (dense scanned layers vs S pipeline stages)
-        differs from the target's, the full state — params AND optimizer
-        moments — is restored in the checkpoint's own layout and reshaped
-        into the target's (a bit-exact relayout). With dropout off the
+        transformer layout (dense scanned layers, or S pipeline stages for
+        any S — including S -> S' restages) differs from the target's, the
+        full state — params AND optimizer moments — is restored in the
+        checkpoint's own layout and reshaped into the target's (a
+        bit-exact relayout via the dense intermediate). With dropout off the
         resumed run's losses continue exactly; with dropout on, the
         per-layer RNG folding differs between layouts, like any attention
         -backend swap (tests/test_pipeline_parallel.py pins the dropout

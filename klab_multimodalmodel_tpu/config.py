@@ -421,6 +421,13 @@ class Config:
                     f"the mesh expert axis {_axis('expert')}")
             if self.moe_capacity_factor <= 0:
                 raise ValueError("moe_capacity_factor must be positive")
+            if self.bucket_lengths:
+                raise ValueError(
+                    "moe_experts > 0 with bucket_lengths is not supported: "
+                    "expert capacity quantizes on the (static) padded "
+                    "sequence length, so per-bucket capacities would break "
+                    "bucket_lengths' loss-identity guarantee; run MoE at "
+                    "fixed max lengths")
         elif _axis("expert") != 1:
             raise ValueError(
                 f"mesh expert axis {_axis('expert')} > 1 requires "

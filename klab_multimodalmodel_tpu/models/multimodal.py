@@ -181,6 +181,7 @@ class MultiModalModel(nn.Module):
         return self.transformer(
             inputs_embeds=concat, attention_mask=concat_mask,
             labels=target_ids, label_weights=label_weights,
+            decoder_attention_mask=self._decoder_mask(target_mask),
             deterministic=deterministic)
 
     # -- training forward --------------------------------------------------
@@ -203,7 +204,19 @@ class MultiModalModel(nn.Module):
         return self.transformer(
             inputs_embeds=concat, attention_mask=concat_mask,
             labels=target_ids, label_weights=label_weights,
+            decoder_attention_mask=self._decoder_mask(target_mask),
             deterministic=deterministic)
+
+    def _decoder_mask(self, target_mask):
+        """Decoder-side mask, passed only under MoE: it gates the decoder
+        stack's ROUTING so pad targets neither claim expert capacity nor
+        skew the balance loss. Loss-neutral for attention itself — target
+        pads trail the sequence, so causal masking already hides them from
+        real queries and label_weights zero their loss rows. Dense models
+        keep the reference's no-decoder-mask behavior bit-for-bit."""
+        if self.config.moe_experts > 0:
+            return target_mask
+        return None
 
     # -- generation entry (encoder half; the decode loop lives in infer/) --
     def encode_for_generation(self, images: jax.Array, source_ids: jax.Array,

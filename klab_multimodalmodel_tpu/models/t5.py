@@ -250,7 +250,8 @@ class T5MoeMlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 mask: Optional[jax.Array] = None
                  ) -> tuple[jax.Array, jax.Array]:
         from ..ops.moe import moe_capacity, moe_ffn, topk_routing
 
@@ -262,7 +263,7 @@ class T5MoeMlp(nn.Module):
                           kernel_init=nn.initializers.normal(
                               s.d_model ** -0.5))(x.astype(jnp.float32))
         cap = moe_capacity(x.shape[1], E, self.top_k, self.capacity_factor)
-        combine, aux = topk_routing(logits, self.top_k, cap)
+        combine, aux = topk_routing(logits, self.top_k, cap, mask=mask)
         wi = self.param("experts_wi",
                         nn.initializers.normal(s.d_model ** -0.5),
                         (E, s.d_model, s.d_ff), jnp.float32)
@@ -292,7 +293,7 @@ class T5Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, self_bias, enc_out, cross_bias,
-                 self_pack=None, cross_pack=None,
+                 self_pack=None, cross_pack=None, moe_mask=None,
                  deterministic: bool = True, decode: bool = False):
         s = self.size
         drop = nn.Dropout(s.dropout_rate)
@@ -314,7 +315,8 @@ class T5Block(nn.Module):
         if self.moe_experts > 0:
             h, aux = T5MoeMlp(s, self.moe_experts, self.moe_top_k,
                               self.moe_capacity_factor, dtype=self.dtype,
-                              name="mlp")(h, deterministic=deterministic)
+                              name="mlp")(h, deterministic=deterministic,
+                                          mask=moe_mask)
         else:
             h = T5Mlp(s, dtype=self.dtype, name="mlp")(
                 h, deterministic=deterministic)
@@ -343,7 +345,7 @@ class _ScanBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, self_bias, enc_out, cross_bias, self_pack,
-                 cross_pack):
+                 cross_pack, moe_mask=None):
         out = T5Block(self.size, self.has_cross_attention, dtype=self.dtype,
                       ring_attention=self.ring_attention,
                       moe_experts=self.moe_experts,
@@ -352,6 +354,7 @@ class _ScanBlock(nn.Module):
                       name="block")(carry, self_bias, enc_out, cross_bias,
                                     self_pack=self_pack,
                                     cross_pack=cross_pack,
+                                    moe_mask=moe_mask,
                                     deterministic=self.deterministic,
                                     decode=self.decode)
         # MoE blocks emit (x, per-layer aux loss) into the scan ys.
@@ -403,13 +406,13 @@ class _StageBlocks(nn.Module):
             block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 5,
+            in_axes=(nn.broadcast,) * 6,
             length=self.layers_per_stage,
             unroll=self.layers_per_stage if self.scan_unroll == 0
             else self.scan_unroll,
         )(self.size, self.has_cross_attention, self.dtype,
           self.deterministic, False, False, name="block")
-        x, _ = blocks(x, self_bias, enc_out, cross_bias, None, None)
+        x, _ = blocks(x, self_bias, enc_out, cross_bias, None, None, None)
         return x
 
 
@@ -627,15 +630,18 @@ class T5Stack(nn.Module):
             block_cls,
             variable_axes={"params": 0, "cache": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 5,
+            in_axes=(nn.broadcast,) * 6,
             length=self.num_layers,
             unroll=self.num_layers if self.scan_unroll == 0
             else self.scan_unroll,
         )(s, self.is_decoder, self.dtype, deterministic, decode,
           self.ring_attention, self.moe_experts, self.moe_top_k,
           self.moe_capacity_factor, name="layers")
+        # MoE routing mask: the stack's key mask doubles as the
+        # token-validity mask (pads route nowhere, ops/moe.py).
+        moe_mask = kmask if self.moe_experts > 0 else None
         x, aux_stack = blocks(x, self_bias, enc_out, cross_bias, self_pack,
-                              cross_pack)
+                              cross_pack, moe_mask)
         x = RMSNorm(epsilon=s.layer_norm_epsilon, name="final_layer_norm")(x)
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
         if self.moe_experts > 0:

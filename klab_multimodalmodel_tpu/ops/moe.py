@@ -41,7 +41,8 @@ def moe_capacity(num_tokens: int, num_experts: int, top_k: int,
     return max(1, min(cap, num_tokens))
 
 
-def topk_routing(router_logits: jax.Array, top_k: int, capacity: int
+def topk_routing(router_logits: jax.Array, top_k: int, capacity: int,
+                 mask: jax.Array | None = None
                  ) -> tuple[jax.Array, jax.Array]:
     """Dense-dispatch top-k routing.
 
@@ -50,6 +51,12 @@ def topk_routing(router_logits: jax.Array, top_k: int, capacity: int
         dtype; the softmax runs in fp32).
       top_k: experts per token (1 = Switch, 2 = GShard).
       capacity: per-expert slot count ``C``.
+      mask: optional ``(G, S)`` token-validity mask (1 = real token,
+        0 = padding). Masked tokens route nowhere (zero combine row),
+        consume no expert capacity, and are excluded from the
+        balance-loss statistics — so routing of real tokens does not
+        depend on how many pad columns ride along, and the aux loss
+        balances REAL-token load (GShard's nonpadding treatment).
 
     Returns:
       ``(combine, aux_loss)`` where ``combine`` is ``(G, S, E, C)`` fp32 —
@@ -61,6 +68,9 @@ def topk_routing(router_logits: jax.Array, top_k: int, capacity: int
     """
     G, S, E = router_logits.shape
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    m = None if mask is None else mask.astype(jnp.float32)  # (G, S)
+    n_real = (jnp.full((G,), float(S)) if m is None
+              else jnp.maximum(jnp.sum(m, axis=1), 1.0))      # (G,)
 
     combine = jnp.zeros((G, S, E, capacity), jnp.float32)
     remaining = probs
@@ -72,32 +82,36 @@ def topk_routing(router_logits: jax.Array, top_k: int, capacity: int
         gate = jnp.max(remaining, axis=-1)                    # (G, S)
         index = jnp.argmax(remaining, axis=-1)                # (G, S)
         onehot = jax.nn.one_hot(index, E, dtype=jnp.float32)  # (G, S, E)
+        if m is not None:
+            # Pad tokens claim no expert: zero rows drop out of the
+            # capacity cumsum, the combine sum, and the fraction stats.
+            onehot = onehot * m[:, :, None]
         # Position of each token within its chosen expert, counting tokens
         # in sequence order (GShard's deterministic priority), offset by
         # slots the previous k-pass already filled.
         pos_in_expert = (jnp.cumsum(onehot, axis=1) - onehot
                          ).astype(jnp.int32)                  # (G, S, E)
-        pos = jnp.sum(pos_in_expert * onehot.astype(jnp.int32),
-                      axis=-1) + jnp.sum(
-                          used[:, None, :] * onehot.astype(jnp.int32),
-                          axis=-1)                            # (G, S)
+        ioh = (onehot > 0).astype(jnp.int32)
+        pos = jnp.sum(pos_in_expert * ioh, axis=-1) + jnp.sum(
+            used[:, None, :] * ioh, axis=-1)                  # (G, S)
         fits = pos < capacity
         slot = jax.nn.one_hot(jnp.where(fits, pos, capacity), capacity,
                               dtype=jnp.float32)              # (G, S, C)
         combine = combine + (gate * fits)[:, :, None, None] \
             * onehot[:, :, :, None] * slot[:, :, None, :]
-        used = used + jnp.sum(
-            onehot.astype(jnp.int32) * fits[:, :, None].astype(jnp.int32),
-            axis=1)
-        frac_routed = frac_routed + jnp.mean(onehot, axis=1)
+        used = used + jnp.sum(ioh * fits[:, :, None].astype(jnp.int32),
+                              axis=1)
+        frac_routed = frac_routed + jnp.sum(onehot, axis=1) / n_real[:, None]
         # Mask the chosen expert out for the next k-pass.
         remaining = remaining * (1.0 - onehot)
 
     # Switch load-balancing loss: E * sum_e(f_e * P_e) with f_e the
-    # fraction of tokens whose (any-k) choice was e and P_e the mean router
-    # prob — computed on the FULL softmax so the router gradient sees every
-    # expert. Mean over groups; /top_k normalizes f so balance => ~1.0.
-    mean_prob = jnp.mean(probs, axis=1)                       # (G, E)
+    # fraction of REAL tokens whose (any-k) choice was e and P_e their mean
+    # router prob — computed on the FULL softmax so the router gradient
+    # sees every expert. Mean over groups; /top_k normalizes f so balance
+    # => ~1.0.
+    pm = probs if m is None else probs * m[:, :, None]
+    mean_prob = jnp.sum(pm, axis=1) / n_real[:, None]         # (G, E)
     aux = E * jnp.mean(jnp.sum(frac_routed / top_k * mean_prob, axis=-1))
     return combine, aux
 

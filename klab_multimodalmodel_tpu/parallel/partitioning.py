@@ -42,10 +42,12 @@ _RULES: list[tuple[str, P]] = [
     (r"mlp/wi/kernel$", P("fsdp", "tensor")),
     (r"mlp/wo/kernel$", P("tensor", "fsdp")),
     # MoE expert FFNs: leading experts axis over ``expert``, then the dense
-    # rules' layout per expert. The router stays replicated (tiny).
+    # rules' layout per expert. The router stays replicated — it is tiny
+    # (d_model x E) and every token needs it, so sharding would only buy
+    # a per-layer all-gather.
     (r"mlp/experts_wi$", P("expert", "fsdp", "tensor")),
     (r"mlp/experts_wo$", P("expert", "tensor", "fsdp")),
-    (r"mlp/router/kernel$", P("fsdp", None)),
+    (r"mlp/router/kernel$", P(None, None)),
     # Embeddings / LM head: shard vocab on tensor (XLA handles the gather).
     (r"shared/embedding$", P("tensor", "fsdp")),
     (r"lm_head/kernel$", P("fsdp", "tensor")),

@@ -20,7 +20,6 @@ python train.py \
     --swin_gelu_approximate \
     --frozen_param_dtype bfloat16 \
     --cache_frozen_features \
-    --bucket_lengths \
     --tokenizer_path results/pretrained/spiece.model \
     --data_dir /user/data/redcaps/ \
     --result_dir results/pretrain/moe_transformer_tpu/

@@ -129,6 +129,59 @@ def test_moe_capacity_drops_overflow():
     assert np.abs(np.asarray(y)[0, :2]).max() > 0.0
 
 
+def test_moe_routing_mask_excludes_pads():
+    """Masked (pad) tokens route nowhere, claim no capacity slots, and
+    drop out of the balance statistics."""
+    G, S, E, cap = 1, 8, 4, 2
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(G, S, E), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.float32)
+    combine, aux = topk_routing(logits, 1, cap, mask=mask)
+    c = np.asarray(combine)
+    assert np.abs(c[0, 5:]).max() == 0.0  # pads get no expert output
+
+    # Pads must not consume capacity: everyone prefers expert 0 with 2
+    # slots; with token 0 masked out, the slots go to tokens 1 and 2.
+    pref = np.zeros((G, S, E), np.float32)
+    pref[..., 0] = 10.0
+    m2 = np.ones((G, S), np.float32)
+    m2[0, 0] = 0.0
+    c2 = np.asarray(topk_routing(jnp.asarray(pref), 1, cap,
+                                 mask=jnp.asarray(m2))[0])
+    gates = c2.sum(axis=(2, 3))[0]
+    assert gates[0] == 0 and (gates[1:3] > 0).all() and (gates[3:] == 0).all()
+
+    # Aux statistics are computed over real tokens only: masked-full-width
+    # equals the trimmed tensor.
+    _, aux_trim = topk_routing(logits[:, :5], 1, cap)
+    np.testing.assert_allclose(float(aux), float(aux_trim), rtol=1e-6)
+
+
+def test_moe_loss_invariant_to_pad_content():
+    """With masks everywhere (attention, routing, loss), the model loss
+    must not change when pad-position token ids change — i.e. pad tokens
+    no longer steal expert capacity from real tokens."""
+    ids, mask, labels = _t5_inputs()
+    imask = (np.asarray(mask) > 0)
+    tmask = np.ones(labels.shape, np.float32)
+    tmask[:, -4:] = 0.0
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_capacity_factor=0.5)  # binding
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask, labels=labels)["params"]
+
+    def loss(src):
+        return float(model.apply(
+            {"params": params}, input_ids=src, attention_mask=mask,
+            labels=labels, label_weights=jnp.asarray(tmask),
+            decoder_attention_mask=jnp.asarray(tmask)).loss)
+
+    garbled = np.asarray(ids).copy()
+    garbled[~imask] = 7  # rewrite every pad position
+    np.testing.assert_allclose(loss(jnp.asarray(garbled)), loss(ids),
+                               rtol=1e-6)
+
+
 def test_moe_model_loss_includes_weighted_aux():
     ids, mask, labels = _t5_inputs()
     model = T5ForConditionalGeneration(SIZE, moe_experts=4,
@@ -183,50 +236,91 @@ def test_moe_expert_parallel_equivalence():
                                    rtol=5e-5, atol=1e-7, err_msg=k)
 
 
-def test_moe_expert_axis_inserts_collectives():
-    """A pure-EP mesh (1,1,1,1,1,8) must actually move tokens: the
-    dispatched buffer is expert-sharded while activations are replicated
-    across the expert axis, so the compiled loss must contain the token
-    exchange (all-to-all, or the all-gather + all-reduce pair XLA's cost
-    model picks at small scale)."""
+def test_moe_expert_constraint_inserts_collectives(monkeypatch):
+    """Differential HLO pin of the token exchange itself: with params AND
+    inputs replicated on a pure-EP mesh, ``expert_constraint`` is the ONLY
+    sharding source in the program — collectives present with it and
+    absent with it patched to identity prove the dispatched-token exchange
+    (not mere weight sharding) is what partitions the compute."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import klab_multimodalmodel_tpu.ops.moe as moe_mod
+
     ids, mask, labels = _t5_inputs(B=8)
     model = T5ForConditionalGeneration(SIZE, moe_experts=8)
     params = model.init(jax.random.PRNGKey(0), input_ids=ids,
                         attention_mask=mask, labels=labels)["params"]
     mesh = make_mesh((1, 1, 1, 1, 1, 8))
-    p_sh = jax.device_put(params, make_param_shardings(params, mesh))
+    repl = NamedSharding(mesh, P())
+    p_repl = jax.device_put(params, jax.tree.map(lambda _: repl, params))
 
-    def loss_fn(p):
-        return model.apply({"params": p}, input_ids=ids,
-                           attention_mask=mask, labels=labels).loss
+    def n_collectives():
+        # Fresh closure per measurement: jit caches traces by function
+        # identity, and a cached trace would never see the monkeypatch.
+        def loss_fn(p):
+            return model.apply({"params": p}, input_ids=ids,
+                               attention_mask=mask, labels=labels).loss
 
-    with mesh:
-        txt = jax.jit(loss_fn).lower(p_sh).compile().as_text()
-    n = (txt.count("all-to-all") + txt.count("all-gather")
-         + txt.count("all-reduce"))
-    assert n > 0, "expert axis did not partition anything"
+        with mesh:
+            txt = jax.jit(loss_fn).lower(p_repl).compile().as_text()
+        return (txt.count("all-to-all") + txt.count("all-gather")
+                + txt.count("all-reduce") + txt.count("collective-permute"))
+
+    with_constraint = n_collectives()
+    monkeypatch.setattr(moe_mod, "expert_constraint", lambda x: x)
+    without_constraint = n_collectives()
+    assert with_constraint > 0, "expert_constraint moved no tokens"
+    assert without_constraint == 0, (
+        "collectives without the constraint: the differential no longer "
+        "isolates the token exchange")
+
+    # And the standard layout (weights expert-sharded by the spec rules)
+    # also partitions.
+    specs = _flat(make_param_specs(params))
+    wi_spec = specs["['encoder']['layers']['block']['mlp']['experts_wi']"]
+    assert "expert" in jax.tree_util.tree_leaves(tuple(wi_spec)), wi_spec
 
 
 def test_moe_decode_step_matches_decode_train():
-    """The KV-cache decode path routes each token exactly as the
-    teacher-forced path does: step-0 logits must agree."""
+    """KV-cache decode vs teacher forcing on the SAME token sequence, all
+    positions. With ample capacity (factor 8 => nothing drops) routing is
+    per-token deterministic, so the two paths must agree everywhere.
+
+    (When capacity DOES bind, the paths legitimately diverge from the
+    first overflow onward: training's capacity drop is computed over the
+    whole teacher-forced sequence — a non-causal quantity no
+    token-at-a-time decoder can reproduce — while incremental decode is
+    drop-free, the standard MoE serving behavior.)"""
     ids, mask, _ = _t5_inputs()
-    model = T5ForConditionalGeneration(SIZE, moe_experts=4)
+    Lt = 8
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_capacity_factor=8.0)
     B = ids.shape[0]
-    start = jnp.zeros((B, 1), jnp.int32)
+    rng = np.random.RandomState(3)
+    dec_ids = jnp.asarray(
+        np.concatenate([np.zeros((B, 1), np.int64),
+                        rng.randint(3, SIZE.vocab_size, (B, Lt - 1))],
+                       axis=1).astype(np.int32))
     params = model.init(jax.random.PRNGKey(0), input_ids=ids,
                         attention_mask=mask,
-                        labels=jnp.zeros((B, 4), jnp.int32))["params"]
+                        labels=jnp.zeros((B, Lt), jnp.int32))["params"]
     enc = model.apply({"params": params}, input_ids=ids,
                       attention_mask=mask, method=model.encode)
-    train_logits = model.apply({"params": params}, start, enc,
+    train_logits = model.apply({"params": params}, dec_ids, enc,
                                mask, method=model.decode_train)
-    step_logits, _ = model.apply(
-        {"params": params}, start, jnp.asarray(0, jnp.int32), enc, 4, mask,
-        method=model.decode_step, mutable=["cache"])
-    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
-                               np.asarray(train_logits[:, 0]),
-                               rtol=2e-5, atol=1e-6)
+
+    cache = {}
+    step_logits = []
+    for t in range(Lt):
+        out, mods = model.apply(
+            {"params": params, **({"cache": cache} if cache else {})},
+            dec_ids[:, t:t + 1], jnp.asarray(t, jnp.int32), enc, Lt, mask,
+            method=model.decode_step, mutable=["cache"])
+        cache = mods["cache"]
+        step_logits.append(np.asarray(out[:, 0]))
+    np.testing.assert_allclose(np.stack(step_logits, axis=1),
+                               np.asarray(train_logits),
+                               rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.slow
