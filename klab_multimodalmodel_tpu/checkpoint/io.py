@@ -10,9 +10,12 @@ deterministic resume. Sharded arrays are saved per-shard by orbax — no host
 gather of the full model.
 
 Pretrained checkpoints (``tools/convert_hf_checkpoint.py``) are always in
-the dense scanned-layer layout; :func:`load_pretrained_params` re-layouts
-the transformer on the fly when the target model is pipelined
-(``--pipeline_stages``) — a pure reshape, bit-identical weights.
+the dense scanned-layer layout; :func:`load_pretrained_params` converts
+the transformer on the fly when the target model differs: pipelined
+targets (``--pipeline_stages``) get a pure reshape (bit-identical
+weights), MoE targets (``--moe_experts``) get sparse upcycling — every
+expert initialized as a copy of the dense MLP, router fresh
+(``models/t5.py:upcycle_t5_params``).
 """
 
 from __future__ import annotations
@@ -50,36 +53,61 @@ def load_pretrained_params(path: str, params: Any) -> Any:
         raise ValueError(
             f"pretrained checkpoint {p} contains subtrees {missing} the "
             "model does not have — geometry/config mismatch")
-    # Pipelined target + dense checkpoint: restore the transformer in the
-    # checkpoint's own (dense) layout, then reshape into the stage layout.
+    # Layout-mismatched transformer (pipelined target + dense checkpoint,
+    # or MoE target + dense checkpoint — sparse upcycling): restore the
+    # transformer in the checkpoint's own (dense) layout, then convert.
     pipelined_tr = ("transformer" in target
                     and "pipeline" in target["transformer"].get(
                         "encoder", {}))
-    if pipelined_tr and "layers" in saved["transformer"].get("encoder", {}):
-        from ..parallel.partitioning import (make_param_specs,
-                                             make_shardings)
-
-        mesh = jax.tree.leaves(params)[0].sharding.mesh
+    moe_tr = (_transformer_moe(target.get("transformer"))
+              and not _transformer_moe(saved.get("transformer")))
+    saved_dense = "layers" in saved.get("transformer", {}).get("encoder", {})
+    if (pipelined_tr or moe_tr) and saved_dense:
         dense_abs = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
             saved["transformer"])
-        dense_sh = make_shardings(make_param_specs(dense_abs), mesh)
-        target["transformer"] = jax.tree.map(
-            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
-                                               sharding=sh),
-            dense_abs, dense_sh)
+        sh0 = jax.tree.leaves(params)[0].sharding
+        if hasattr(sh0, "mesh"):  # attach mesh shardings when SPMD-placed
+            from ..parallel.partitioning import (make_param_specs,
+                                                 make_shardings)
+
+            dense_sh = make_shardings(make_param_specs(dense_abs), sh0.mesh)
+            dense_abs = jax.tree.map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                   sharding=sh),
+                dense_abs, dense_sh)
+        target["transformer"] = dense_abs
     restored = ckptr.restore(p, target)
-    if pipelined_tr and "pipeline" not in restored["transformer"].get(
-            "encoder", {}):
+    restored_tr = restored.get("transformer", {})
+    if moe_tr and not _transformer_moe(restored_tr):
+        from ..models.t5 import upcycle_t5_params
+
+        conv = upcycle_t5_params(restored_tr, params["transformer"])
+        ref_shardings = jax.tree.map(lambda x: x.sharding,
+                                     params["transformer"])
+        restored["transformer"] = jax.device_put(conv, ref_shardings)
+    elif pipelined_tr and "pipeline" not in restored_tr.get("encoder", {}):
         from ..models.t5 import pipeline_t5_params
 
         stages = jax.tree.leaves(
             params["transformer"]["encoder"]["pipeline"])[0].shape[0]
-        conv = pipeline_t5_params(restored["transformer"], stages)
+        conv = pipeline_t5_params(restored_tr, stages)
         ref_shardings = jax.tree.map(lambda x: x.sharding,
                                      params["transformer"])
         restored["transformer"] = jax.device_put(conv, ref_shardings)
     return {**params, **restored}
+
+
+def _transformer_moe(tr) -> bool:
+    """True if a transformer param(-like) tree is in the MoE layout
+    (expert-axis MLPs, ``models/t5.py:T5MoeMlp``)."""
+    if not isinstance(tr, dict):
+        return False
+    enc = tr.get("encoder")
+    if not isinstance(enc, dict):
+        return False
+    block = enc.get("layers", {}).get("block")
+    return isinstance(block, dict) and "experts_wi" in block.get("mlp", {})
 
 
 def _transformer_layout_stages(params) -> Optional[int]:
@@ -198,6 +226,18 @@ class CheckpointManager:
                              target.get("params")
                              if isinstance(target, dict) else None)
         tgt_stages = _transformer_layout_stages(tgt_params)
+        saved_moe = self._saved_moe(name)
+        tgt_moe = (tgt_params is not None
+                   and _transformer_moe(tgt_params.get("transformer")))
+        if saved_moe is not None and saved_moe != tgt_moe:
+            raise ValueError(
+                f"checkpoint {name} is {'MoE' if saved_moe else 'dense'} "
+                f"but the target model is {'MoE' if tgt_moe else 'dense'}: "
+                "full-state resume cannot cross the dense/MoE boundary "
+                "(expert optimizer moments have no dense counterpart). For "
+                "dense -> MoE, sparse-upcycle the params with "
+                "--init_checkpoint (fresh optimizer), per Komatsuzaki et "
+                "al. 2023.")
         if (saved_stages is None or tgt_stages is None
                 or saved_stages == tgt_stages):
             return self._ckptr.restore(self.path(name), abstract)
@@ -218,12 +258,22 @@ class CheckpointManager:
                             conv, abstract)
 
     def _saved_layout_stages(self, name: str) -> Optional[int]:
+        params = self._saved_params_meta(name)
+        return _transformer_layout_stages(params)
+
+    def _saved_moe(self, name: str) -> Optional[bool]:
+        """Whether the saved transformer is MoE; None if undeterminable."""
+        params = self._saved_params_meta(name)
+        if not isinstance(params, dict) or "transformer" not in params:
+            return None
+        return _transformer_moe(params["transformer"])
+
+    def _saved_params_meta(self, name: str):
         try:
             meta = self._ckptr.metadata(self.path(name)).item_metadata.tree
         except Exception:
             return None
-        params = meta.get("params") if isinstance(meta, dict) else None
-        return _transformer_layout_stages(params)
+        return meta.get("params") if isinstance(meta, dict) else None
 
     def load_metadata(self, name: str) -> Optional[dict]:
         p = os.path.join(self.base, f"{name}.meta.json")

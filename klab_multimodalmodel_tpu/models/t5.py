@@ -533,6 +533,55 @@ def unpipeline_t5_params(params: dict) -> dict:
     return p
 
 
+def upcycle_t5_params(dense: dict, fresh_moe: dict) -> dict:
+    """Sparse upcycling (Komatsuzaki et al. 2023, "Sparse Upcycling:
+    Training Mixture-of-Experts from Dense Checkpoints"): convert a DENSE
+    T5 param tree into the MoE layout of ``fresh_moe`` (a freshly
+    initialized tree from the target ``--moe_experts E`` model, same
+    geometry otherwise).
+
+    Per the paper's recipe: every expert starts as an exact copy of the
+    dense MLP (``wi``/``wo`` broadcast over the new leading expert axis),
+    all non-MLP weights (attention, norms, embeddings, biases) carry over
+    bit-identically, and the router keeps ``fresh_moe``'s fresh random
+    init — a near-uniform router spreads tokens across (identical) experts,
+    so early training is approximately the dense model scaled by the
+    top-k gate mass, and the experts then diverge. Optimizer state is NOT
+    upcycled — use via ``--init_checkpoint`` (params-only init), which is
+    also the paper's procedure (fresh optimizer on the upcycled params).
+    """
+    out = dict(dense)
+    for key in ("encoder", "decoder"):
+        if key not in out or "layers" not in out[key]:
+            continue
+        if key not in fresh_moe or "layers" not in fresh_moe[key]:
+            raise ValueError(
+                f"upcycle target has no scanned '{key}' stack — pipelined "
+                "MoE targets are unsupported (MoE runs the dense scanned "
+                "layout)")
+        block = dict(out[key]["layers"]["block"])
+        mlp = block.get("mlp", {})
+        fresh_mlp = fresh_moe[key]["layers"]["block"]["mlp"]
+        if "wi" not in mlp or "experts_wi" not in fresh_mlp:
+            raise ValueError(
+                "upcycle_t5_params needs a dense source (mlp/wi) and an "
+                "MoE target (mlp/experts_wi)")
+        E = fresh_mlp["experts_wi"].shape[1]  # scanned: (L, E, d, f)
+        block["mlp"] = {
+            "router": fresh_mlp["router"],
+            "experts_wi": jnp.repeat(
+                jnp.asarray(mlp["wi"]["kernel"], jnp.float32)[:, None],
+                E, axis=1),
+            "experts_wo": jnp.repeat(
+                jnp.asarray(mlp["wo"]["kernel"], jnp.float32)[:, None],
+                E, axis=1),
+        }
+        stack = dict(out[key])
+        stack["layers"] = {"block": block}
+        out[key] = stack
+    return out
+
+
 class T5Stack(nn.Module):
     """Encoder or decoder stack (embedding handled by the caller).
 

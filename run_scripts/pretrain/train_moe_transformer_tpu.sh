@@ -4,10 +4,10 @@
 # trainable transformer's parameter count 8x without scaling per-token
 # FLOPs. Every MLP becomes a Switch top-1 MoE (ops/moe.py); on a multi-chip
 # host the experts shard over the mesh's expert axis (here: 4-way data x
-# 2-way expert over 8 chips — adjust to the local topology). MoE is a
-# fresh-trained architecture, so no --init_checkpoint: the frozen towers
-# initialize from random here; swap in converted tower weights via
-# checkpoint surgery if warm towers are wanted.
+# 2-way expert over 8 chips — adjust to the local topology). This recipe
+# trains the MoE from scratch; to warm-start from a converted dense
+# checkpoint instead, see upcycle_moe_transformer_tpu.sh (sparse
+# upcycling via --init_checkpoint).
 python train.py \
     --num_steps 10000 \
     --save_interval 1000 \

@@ -371,3 +371,136 @@ def test_moe_trainer_end_to_end():
                    method=tf.encode)
     toks = greedy_decode(tf, tparams, enc, None, 6)
     assert toks.shape == (2, 6)
+
+
+def test_upcycle_dense_to_moe_params():
+    """Sparse upcycling (models/t5.py:upcycle_t5_params): every expert
+    starts as an exact copy of the dense MLP, all non-MLP weights carry
+    over bit-identically, the router keeps the fresh MoE init, and the
+    upcycled tree is structurally a valid MoE param tree that runs."""
+    from klab_multimodalmodel_tpu.models.t5 import upcycle_t5_params
+
+    ids, mask, labels = _t5_inputs()
+    E = 4
+    dense_model = T5ForConditionalGeneration(SIZE)
+    moe_model = T5ForConditionalGeneration(SIZE, moe_experts=E,
+                                           moe_capacity_factor=2.0)
+    dense = dense_model.init(jax.random.PRNGKey(0), input_ids=ids,
+                             attention_mask=mask, labels=labels)["params"]
+    fresh = moe_model.init(jax.random.PRNGKey(1), input_ids=ids,
+                           attention_mask=mask, labels=labels)["params"]
+    up = upcycle_t5_params(dense, fresh)
+    assert (jax.tree_util.tree_structure(up)
+            == jax.tree_util.tree_structure(fresh))
+    for key in ("encoder", "decoder"):
+        dmlp = dense[key]["layers"]["block"]["mlp"]
+        umlp = up[key]["layers"]["block"]["mlp"]
+        fmlp = fresh[key]["layers"]["block"]["mlp"]
+        for e in range(E):
+            np.testing.assert_array_equal(np.asarray(umlp["experts_wi"][:, e]),
+                                          np.asarray(dmlp["wi"]["kernel"]))
+            np.testing.assert_array_equal(np.asarray(umlp["experts_wo"][:, e]),
+                                          np.asarray(dmlp["wo"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(umlp["router"]["kernel"]),
+            np.asarray(fmlp["router"]["kernel"]))
+        # Non-MLP weights are the dense checkpoint's, untouched.
+        np.testing.assert_array_equal(
+            np.asarray(up[key]["layers"]["block"]["SelfAttention"]["o"]
+                       ["kernel"]),
+            np.asarray(dense[key]["layers"]["block"]["SelfAttention"]["o"]
+                       ["kernel"]))
+    out = moe_model.apply({"params": up}, input_ids=ids, attention_mask=mask,
+                          labels=labels)
+    assert np.isfinite(float(out.loss))
+
+
+def test_upcycle_via_init_checkpoint(tmp_path):
+    """--init_checkpoint with a DENSE pretrained checkpoint and an MoE
+    target model sparse-upcycles on the fly (checkpoint/io.py)."""
+    import orbax.checkpoint as ocp
+
+    from klab_multimodalmodel_tpu.checkpoint.io import load_pretrained_params
+
+    ids, mask, labels = _t5_inputs()
+    dense = T5ForConditionalGeneration(SIZE).init(
+        jax.random.PRNGKey(0), input_ids=ids, attention_mask=mask,
+        labels=labels)["params"]
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "pre"), {"transformer": dense})
+    ck.wait_until_finished()
+
+    moe_model = T5ForConditionalGeneration(SIZE, moe_experts=4)
+    fresh = moe_model.init(jax.random.PRNGKey(1), input_ids=ids,
+                           attention_mask=mask, labels=labels)["params"]
+    out = load_pretrained_params(str(tmp_path / "pre"),
+                                 {"transformer": fresh})
+    umlp = out["transformer"]["encoder"]["layers"]["block"]["mlp"]
+    np.testing.assert_array_equal(
+        np.asarray(umlp["experts_wi"][:, 2]),
+        np.asarray(dense["encoder"]["layers"]["block"]["mlp"]["wi"]
+                   ["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(umlp["router"]["kernel"]),
+        np.asarray(fresh["encoder"]["layers"]["block"]["mlp"]["router"]
+                   ["kernel"]))
+    loss = float(moe_model.apply({"params": out["transformer"]},
+                                 input_ids=ids, attention_mask=mask,
+                                 labels=labels).loss)
+    assert np.isfinite(loss)
+
+
+def test_restore_refuses_dense_moe_boundary(tmp_path):
+    """Full-state resume must not silently cross the dense/MoE boundary
+    (expert moments have no dense counterpart) — clear error instead,
+    pointing at the --init_checkpoint upcycle path."""
+    from klab_multimodalmodel_tpu.checkpoint.io import CheckpointManager
+
+    ids, mask, labels = _t5_inputs()
+    dense = T5ForConditionalGeneration(SIZE).init(
+        jax.random.PRNGKey(0), input_ids=ids, attention_mask=mask,
+        labels=labels)["params"]
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("epoch_1", {"params": {"transformer": dense}})
+    mgr.wait()
+    moe = T5ForConditionalGeneration(SIZE, moe_experts=4).init(
+        jax.random.PRNGKey(1), input_ids=ids, attention_mask=mask,
+        labels=labels)["params"]
+    with pytest.raises(ValueError, match="dense/MoE boundary"):
+        mgr.restore("epoch_1", {"params": {"transformer": moe}})
+
+
+def test_moe_greedy_decode_matches_stepwise_oracle():
+    """infer.generate greedy decode (jit while_loop) on an MoE model must
+    produce exactly the tokens of a hand-rolled decode_step argmax loop."""
+    from klab_multimodalmodel_tpu.infer.generate import greedy_decode
+
+    ids, mask, _ = _t5_inputs()
+    L = 6
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_capacity_factor=8.0)
+    B = ids.shape[0]
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask,
+                        labels=jnp.zeros((B, L), jnp.int32))["params"]
+    enc = model.apply({"params": params}, input_ids=ids,
+                      attention_mask=mask, method=model.encode)
+    got = np.asarray(greedy_decode(model, params, enc, mask, L))
+
+    tok = np.full((B, L), SIZE.pad_token_id, np.int32)
+    tok[:, 0] = SIZE.decoder_start_token_id
+    cache = {}
+    finished = np.zeros(B, bool)
+    for t in range(L - 1):
+        out, mods = model.apply(
+            {"params": params, **({"cache": cache} if cache else {})},
+            jnp.asarray(tok[:, t:t + 1]), jnp.asarray(t, jnp.int32), enc,
+            L, mask, method=model.decode_step, mutable=["cache"])
+        cache = mods["cache"]
+        nxt = np.asarray(jnp.argmax(out[:, -1], axis=-1)).astype(np.int32)
+        nxt = np.where(finished, SIZE.pad_token_id, nxt)
+        tok[:, t + 1] = nxt
+        finished |= nxt == SIZE.eos_token_id
+        if finished.all():
+            break
+    np.testing.assert_array_equal(got, tok)
