@@ -116,7 +116,14 @@ class MultiModalModel(nn.Module):
         concat = jnp.concatenate([img, lang], axis=1)
         if source_mask is None:
             return concat, None
-        img_mask = jnp.ones(img.shape[:2], source_mask.dtype)
+        # Image tokens are valid wherever the ROW is: a row whose source is
+        # entirely padding (a gradient-accumulation phantom row,
+        # train/loop.py tail) is masked wholesale, image tokens included —
+        # it must not leak into MoE routing statistics. The reference never
+        # feeds such rows (its final group is simply smaller), so for every
+        # real row this is its unconditional torch.ones mask.
+        row_valid = jnp.max(source_mask, axis=1, keepdims=True)
+        img_mask = jnp.broadcast_to(row_valid, img.shape[:2])
         return concat, jnp.concatenate([img_mask, source_mask], axis=1)
 
     # -- frozen-feature cache path ------------------------------------------
@@ -173,7 +180,9 @@ class MultiModalModel(nn.Module):
         concat = jnp.concatenate([img, lang], axis=1)
         concat_mask = None
         if source_mask is not None:
-            img_mask = jnp.ones(img.shape[:2], source_mask.dtype)
+            # Row-validity image mask — same rule as encode_multimodal.
+            row_valid = jnp.max(source_mask, axis=1, keepdims=True)
+            img_mask = jnp.broadcast_to(row_valid, img.shape[:2])
             concat_mask = jnp.concatenate([img_mask, source_mask], axis=1)
         label_weights = None
         if target_mask is not None:

@@ -108,11 +108,17 @@ def topk_routing(router_logits: jax.Array, top_k: int, capacity: int,
     # Switch load-balancing loss: E * sum_e(f_e * P_e) with f_e the
     # fraction of REAL tokens whose (any-k) choice was e and P_e their mean
     # router prob — computed on the FULL softmax so the router gradient
-    # sees every expert. Mean over groups; /top_k normalizes f so balance
+    # sees every expert. Mean over NONEMPTY groups (an all-padding group —
+    # e.g. a gradient-accumulation phantom row — contributes zero to the
+    # sum and must not dilute the mean, so padded batches score exactly
+    # like their unpadded equivalent); /top_k normalizes f so balance
     # => ~1.0.
     pm = probs if m is None else probs * m[:, :, None]
     mean_prob = jnp.sum(pm, axis=1) / n_real[:, None]         # (G, E)
-    aux = E * jnp.mean(jnp.sum(frac_routed / top_k * mean_prob, axis=-1))
+    n_groups = (jnp.asarray(float(G)) if m is None
+                else jnp.maximum(jnp.sum(jnp.max(m, axis=1)), 1.0))
+    aux = E * jnp.sum(
+        jnp.sum(frac_routed / top_k * mean_prob, axis=-1)) / n_groups
     return combine, aux
 
 

@@ -71,16 +71,25 @@ class FrozenFeatureCache:
         else:
             self._filled = np.zeros(num_samples, bool)
 
+    # Negative indices mark PHANTOM rows (gradient-accumulation tail
+    # padding, train/loop.py): they are never stored (their features are
+    # computed under zeroed masks and differ from the real row they
+    # duplicate), never gate has(), and read an arbitrary row on get()
+    # (row 0) — every consumer masks them out.
+
     def has(self, indices: np.ndarray) -> bool:
-        return bool(self._filled[np.asarray(indices)].all())
+        idx = np.asarray(indices)
+        return bool(self._filled[idx[idx >= 0]].all())
 
     def put(self, indices: np.ndarray, features: np.ndarray) -> None:
         idx = np.asarray(indices)
-        self._data[idx] = features.astype(self._np_dtype)
-        self._filled[idx] = True
+        real = idx >= 0
+        self._data[idx[real]] = features[real].astype(self._np_dtype)
+        self._filled[idx[real]] = True
 
     def get(self, indices: np.ndarray) -> np.ndarray:
-        return np.asarray(self._data[np.asarray(indices)])
+        idx = np.asarray(indices)
+        return np.asarray(self._data[np.where(idx >= 0, idx, 0)])
 
     @property
     def fill_fraction(self) -> float:

@@ -411,10 +411,16 @@ def train(config: Config,
         if micro_group and config.accumulation_tail == "pad":
             # Ragged final update (reference parity, train.py:61-67): pad
             # the leftover microbatches to the full accum group by cycling
-            # real rows with zero target weights. Zero-weight rows produce
-            # exactly zero loss and gradients, so this is gradient-exact
-            # equivalent to the reference's smaller final group (which also
-            # scales each microbatch by 1/accumulation_steps).
+            # real rows with BOTH masks zeroed. Zero target weights make
+            # the CE loss and gradients exactly zero; zero source masks
+            # (plus the row-validity image mask, models/multimodal.py, and
+            # nonempty-group aux normalization, ops/moe.py) keep the
+            # phantom rows out of MoE routing statistics — so this is
+            # gradient-exact equivalent to the reference's smaller final
+            # group (which also scales each microbatch by
+            # 1/accumulation_steps). Phantom index rows are set to -1 so
+            # the feature cache never writes their (masked, now different)
+            # features over the real rows they duplicate.
             real = {k: np.concatenate([m[k] for m in micro_group])
                     for k in micro_group[0]}
             n_real = real["images"].shape[0]
@@ -422,8 +428,12 @@ def train(config: Config,
             n_total = accum * micro_rows
             idx = np.arange(n_total) % n_real
             merged = {k: v[idx] for k, v in real.items()}
-            merged["target_mask"] = merged["target_mask"].copy()
-            merged["target_mask"][n_real:] = 0
+            for k in ("target_mask", "source_mask"):
+                merged[k] = merged[k].copy()
+                merged[k][n_real:] = 0
+            if "index" in merged:
+                merged["index"] = merged["index"].copy()
+                merged["index"][n_real:] = -1
             run_update(merged, n_real)
             groups_done += 1
             if should_halt():

@@ -504,3 +504,95 @@ def test_moe_greedy_decode_matches_stepwise_oracle():
         if finished.all():
             break
     np.testing.assert_array_equal(got, tok)
+
+
+def test_moe_loss_invariant_to_phantom_rows():
+    """Appending all-masked phantom rows (the gradient-accumulation pad
+    tail, train/loop.py) leaves the total loss (CE + weighted aux) AND the
+    gradients exactly those of the unpadded batch: phantom rows are
+    excluded from routing, capacity, and the aux group mean
+    (ops/moe.py nonempty-group normalization)."""
+    ids, mask, labels = _t5_inputs()
+    B = ids.shape[0]
+    tmask = np.ones(labels.shape, np.float32)
+    tmask[:, -4:] = 0.0
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_aux_loss_weight=0.01,
+                                       moe_capacity_factor=0.5)  # binding
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask, labels=labels)["params"]
+
+    def loss_fn(p, src, m, lab, w):
+        return model.apply({"params": p}, input_ids=src, attention_mask=m,
+                           labels=lab, label_weights=w,
+                           decoder_attention_mask=w).loss
+
+    # Phantom tail: cycle real rows, zero both masks (what the loop does).
+    pad = 3
+    idx = np.arange(B + pad) % B
+    src_p = jnp.asarray(np.asarray(ids)[idx])
+    m_p = np.asarray(mask)[idx].copy(); m_p[B:] = 0.0
+    lab_p = jnp.asarray(np.asarray(labels)[idx])
+    w_p = np.asarray(tmask)[idx].copy(); w_p[B:] = 0.0
+
+    base = model.apply({"params": params}, input_ids=ids,
+                       attention_mask=mask, labels=labels,
+                       label_weights=jnp.asarray(tmask),
+                       decoder_attention_mask=jnp.asarray(tmask))
+    padded = model.apply({"params": params}, input_ids=src_p,
+                         attention_mask=jnp.asarray(m_p), labels=lab_p,
+                         label_weights=jnp.asarray(w_p),
+                         decoder_attention_mask=jnp.asarray(w_p))
+    np.testing.assert_allclose(float(padded.aux_loss),
+                               float(base.aux_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(padded.loss), float(base.loss),
+                               rtol=1e-6)
+
+    g0 = jax.grad(loss_fn)(params, ids, mask, labels, jnp.asarray(tmask))
+    g1 = jax.grad(loss_fn)(params, src_p, jnp.asarray(m_p), lab_p,
+                           jnp.asarray(w_p))
+    f0, f1 = _flat(g0), _flat(g1)
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f1[k]), np.asarray(f0[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_moe_multimodal_phantom_rows_masked_out():
+    """Through the full three-tower cascade: phantom rows must not leak
+    into the MoE balance loss via the all-ones IMAGE-token mask — the
+    row-validity image mask (models/multimodal.py) masks them wholesale."""
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+
+    cfg = Config(language_model_name="t5-moe-micro",
+                 transformer_model_name="t5-moe-micro",
+                 image_model_name="swin-moe-micro",
+                 max_source_length=16, max_target_length=8,
+                 compute_dtype="float32", scan_unroll=1,
+                 moe_experts=4, moe_capacity_factor=0.5,
+                 data_dir="synthetic")
+    rng = np.random.RandomState(0)
+    B, pad = 2, 2
+    images = jnp.asarray(rng.rand(B, 32, 32, 3), jnp.float32)
+    src = jnp.asarray(rng.randint(3, 512, (B, 16)), jnp.int32)
+    tgt = jnp.asarray(rng.randint(3, 512, (B, 8)), jnp.int32)
+    smask = jnp.ones((B, 16), jnp.float32)
+    tmask = jnp.ones((B, 8), jnp.float32)
+    model = MultiModalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), images, src, tgt,
+                        source_mask=smask, target_mask=tmask)["params"]
+
+    idx = np.arange(B + pad) % B
+    pz = lambda a: np.asarray(a)[idx]
+    sm_p = pz(smask).copy(); sm_p[B:] = 0.0
+    tm_p = pz(tmask).copy(); tm_p[B:] = 0.0
+
+    base = model.apply({"params": params}, images, src, tgt,
+                       source_mask=smask, target_mask=tmask)
+    padded = model.apply({"params": params}, jnp.asarray(pz(images)),
+                         jnp.asarray(pz(src)), jnp.asarray(pz(tgt)),
+                         source_mask=jnp.asarray(sm_p),
+                         target_mask=jnp.asarray(tm_p))
+    np.testing.assert_allclose(float(padded.aux_loss),
+                               float(base.aux_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(padded.loss), float(base.loss),
+                               rtol=1e-6)
