@@ -303,10 +303,16 @@ def train(config: Config,
                 np.array([1 if halt_flag["local"] else 0], np.int32))
             halt_flag["global"] = bool(int(np.sum(flags)) > 0)
 
+    # A threshold the resumed step counter has ALREADY passed is spent:
+    # rerunning the same command (the documented resume workflow,
+    # MIGRATION.md) must continue to completion, not re-halt after one
+    # update per relaunch.
+    halt_threshold = (config.halt_after_steps
+                      if config.halt_after_steps > steps else 0)
+
     def should_halt() -> bool:
         sync_halt_consensus()
-        return bool((config.halt_after_steps
-                     and steps >= config.halt_after_steps)
+        return bool((halt_threshold and steps >= halt_threshold)
                     or halt_flag["global"])
 
     def resume_state_meta() -> dict:

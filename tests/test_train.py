@@ -372,7 +372,10 @@ def test_bit_exact_midepoch_resume(tmp_path):
     out_b1 = run("interrupted", 3)  # dies mid-epoch-2 (cursor 1 of 2)
     assert out_b1["halted"]
     assert int(out_b1["steps"]) == 3
-    out_b2 = run("interrupted", 0)  # resumes at epoch 2, batch 2
+    # Resume by rerunning the SAME command (halt flag still set — the
+    # documented workflow): a threshold the restored counter already
+    # passed is spent, so the run continues to completion.
+    out_b2 = run("interrupted", 3)  # resumes at epoch 2, batch 2
     assert not out_b2["halted"]
 
     pa = jax.device_get(out_a["state"].params)
