@@ -372,12 +372,20 @@ class Config:
         if self.seq_attention not in ("allgather", "ring"):
             raise ValueError(
                 f"unknown seq_attention {self.seq_attention!r}")
-        # Axis sizes by name (custom axis-name lists may be shorter).
+        # Axis sizes by name (custom axis-name lists may be shorter). The
+        # global mesh axis is the ICI factor x the DCN factor — a pipe or
+        # expert factor placed in --dcn_mesh_shape must trip the same
+        # validation (it would otherwise build a replicated axis nothing
+        # shards over: a correct-looking run at half throughput).
         def _axis(name: str) -> int:
             try:
-                return self.mesh_shape[self.mesh_axis_names.index(name)]
+                i = self.mesh_axis_names.index(name)
             except ValueError:
                 return 1
+            ici = self.mesh_shape[i] if i < len(self.mesh_shape) else 1
+            dcn = (self.dcn_mesh_shape[i]
+                   if i < len(self.dcn_mesh_shape) else 1)
+            return ici * dcn
 
         if self.pipeline_stages > 1:
             if self.seq_attention == "ring":
@@ -545,12 +553,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--result_dir", type=str, default=d.result_dir)
     # TPU-native extensions
     parser.add_argument("--seed", type=int, default=d.seed)
-    parser.add_argument("--mesh_shape", type=int, nargs="+",
-                        default=list(d.mesh_shape),
-                        help="3-5 ints: DATA FSDP TENSOR [SEQ [PIPE]]")
-    parser.add_argument("--dcn_mesh_shape", type=int, nargs="+",
-                        default=list(d.dcn_mesh_shape),
-                        help="3-5 ints: DATA FSDP TENSOR [SEQ [PIPE]]")
+    parser.add_argument(
+        "--mesh_shape", type=int, nargs="+", default=list(d.mesh_shape),
+        help="3-6 ints: DATA FSDP TENSOR [SEQ [PIPE [EXPERT]]] "
+             "(ICI factors; -1 = remaining devices)")
+    parser.add_argument(
+        "--dcn_mesh_shape", type=int, nargs="+",
+        default=list(d.dcn_mesh_shape),
+        help="3-6 ints: DATA FSDP TENSOR [SEQ [PIPE [EXPERT]]] "
+             "(DCN factors for multi-slice; global axis = ICI x DCN)")
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                         choices=["float32", "bfloat16"])
     parser.add_argument("--remat", type=str, default=d.remat,

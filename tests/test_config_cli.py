@@ -112,6 +112,15 @@ def test_mesh_shape_seq_axis_cli():
     with pytest.raises(ValueError):
         Config(moe_experts=4, pipeline_stages=2,
                mesh_shape=(2, 1, 1, 1, 2, 1))
+    # The same pipe/expert gating applies to DCN factors — a >1 factor in
+    # --dcn_mesh_shape would otherwise silently build a replicated axis.
+    with pytest.raises(ValueError, match="pipe"):
+        Config(dcn_mesh_shape=(1, 1, 1, 1, 2, 1))
+    with pytest.raises(ValueError, match="expert"):
+        Config(dcn_mesh_shape=(1, 1, 1, 1, 1, 2))
+    # ...and a legitimate ICI x DCN expert split passes.
+    Config(moe_experts=4, mesh_shape=(2, 1, 1, 1, 1, 2),
+           dcn_mesh_shape=(1, 1, 1, 1, 1, 2))
 
 
 def test_mesh_shape_resolution():
