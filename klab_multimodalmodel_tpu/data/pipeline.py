@@ -33,8 +33,14 @@ from ..text.tokenizer import TokenizerBase
 from .datasets import DatasetBase
 
 # -- decode-worker process plumbing (worker_mode="process") -----------------
-# The dataset is shipped once per worker via the pool initializer (fork),
-# not re-pickled per batch; workers only run PIL decode + resize, never jax.
+# The dataset is shipped once per worker via the pool initializer (spawn,
+# pickled), not re-pickled per batch; workers only run PIL decode + resize,
+# never jax. Spawn, NOT fork: the pool is created lazily from inside a live
+# training process whose XLA/PJRT runtime and async-checkpoint threads hold
+# locks — fork() of a multithreaded process can clone a held mutex into the
+# child and deadlock its first allocation. Spawned workers start clean; the
+# pool persists across epochs (one startup cost per run), so per-epoch
+# dataset state (epoch reseed, skip_image_load) is shipped with each task.
 _WORKER_DATASET = None
 
 
@@ -43,7 +49,11 @@ def _init_decode_worker(dataset) -> None:
     _WORKER_DATASET = dataset
 
 
-def _decode_worker_getitem(i: int):
+def _decode_worker_getitem(task):
+    i, epoch, skip = task
+    if getattr(_WORKER_DATASET, "epoch", None) != epoch:
+        _WORKER_DATASET.set_epoch(epoch)  # no-op for epoch-free datasets
+    _WORKER_DATASET.skip_image_load = skip
     return _WORKER_DATASET[i]
 
 
@@ -76,7 +86,7 @@ class DataLoader:
         self.num_workers = num_workers or max((os.cpu_count() or 4) // 4, 1)
         # "thread" (default): ThreadPoolExecutor — PIL releases the GIL for
         # jpeg decode, so threads scale for decode-bound loads. "process":
-        # fork()ed decode workers (the torch num_workers equivalent,
+        # spawned decode workers (the torch num_workers equivalent,
         # /root/reference/modules/loader.py:88) — full-core scaling when
         # per-sample Python work (span corruption, transforms) would
         # otherwise serialize on the GIL.
@@ -91,6 +101,7 @@ class DataLoader:
         # pinned by tests/test_native.py); decode stays on `tokenizer`.
         self.native_encoder = native_encoder
         self.epoch = 0
+        self._pool = None  # lazily created, persists across epochs
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -131,18 +142,33 @@ class DataLoader:
         enc = self.tokenizer(texts, max_length=max_length)
         return enc.input_ids, enc.attention_mask
 
-    def _make_pool(self):
-        if self.worker_mode == "process":
-            return ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_decode_worker,
-                initargs=(self.dataset,))
-        return ThreadPoolExecutor(max_workers=self.num_workers)
+    def _get_pool(self):
+        """The decode pool, created once and reused across epochs (see the
+        spawn rationale at the top of this module)."""
+        if self._pool is None:
+            if self.worker_mode == "process":
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_init_decode_worker,
+                    initargs=(self.dataset,))
+            else:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers)
+        return self._pool
+
+    def close(self) -> None:
+        """Shut the decode pool down (optional — interpreter exit also
+        reaps it; call when constructing many short-lived loaders)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _assemble(self, idxs: np.ndarray, pool) -> Batch:
         if self.worker_mode == "process":
-            items = list(pool.map(_decode_worker_getitem, idxs.tolist()))
+            skip = bool(getattr(self.dataset, "skip_image_load", False))
+            tasks = [(int(i), self.epoch, skip) for i in idxs.tolist()]
+            items = list(pool.map(_decode_worker_getitem, tasks))
         else:
             items = list(pool.map(self.dataset.__getitem__, idxs.tolist()))
         images = np.stack([it[0] for it in items])
@@ -165,20 +191,33 @@ class DataLoader:
         mid-epoch resume (preemption checkpoints) replays the tail of the
         deterministic epoch order without decoding the consumed prefix."""
         batches = self.epoch_indices()[start_batch:]
-        pool = self._make_pool()
+        pool = self._get_pool()
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps observing ``stop``: a consumer that
+            abandons iteration mid-epoch (preemption halt) must not leave
+            the producer blocked forever on a full prefetch queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(b, pool))
+                    if not put_or_stop(self._assemble(b, pool)):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -192,7 +231,6 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            pool.shutdown(wait=False)
 
 
 def get_dataloader(config, phase: str, tokenizer: TokenizerBase,

@@ -155,8 +155,10 @@ def test_normalize_images_device_op():
 
 
 def test_process_decode_workers_match_threads():
-    """worker_mode='process' (fork decode workers, the torch num_workers
-    equivalent) yields byte-identical batches to the thread pool."""
+    """worker_mode='process' (spawned decode workers, the torch
+    num_workers equivalent) yields byte-identical batches to the thread
+    pool — including epoch-dependent per-sample state, which is shipped
+    with each task since the pool persists across epochs."""
     from klab_multimodalmodel_tpu.data import DataLoader, SyntheticCaptionDataset
     from klab_multimodalmodel_tpu.text import ByteTokenizer
 
@@ -172,3 +174,56 @@ def test_process_decode_workers_match_threads():
     for a, b in zip(batches("thread"), batches("process")):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_abandoned_iteration_releases_producer():
+    """Abandoning iteration mid-epoch (the preemption halt path) must not
+    leave the producer thread blocked in q.put on a full prefetch queue."""
+    import threading
+    import time
+
+    from klab_multimodalmodel_tpu.data import (DataLoader,
+                                               SyntheticCaptionDataset)
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    ds = SyntheticCaptionDataset(n=64, image_size=32)
+    dl = DataLoader(ds, ByteTokenizer(), global_batch_size=4,
+                    max_source_length=24, max_target_length=16,
+                    seed=0, num_workers=1, prefetch=1)
+    dl.set_epoch(1)
+    before = threading.active_count()
+    it = iter(dl)
+    next(it)          # producer now prefetching ahead on a full queue
+    it.close()        # abandon mid-epoch (what preempt_save does)
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_process_workers_see_epoch_state():
+    """The persistent spawn pool must observe per-epoch dataset reseeds:
+    epoch 1 and epoch 2 batches differ for an epoch-seeded dataset and
+    match the thread pool's epoch-2 output exactly."""
+    from klab_multimodalmodel_tpu.data import (DataLoader,
+                                               SyntheticCaptionDataset)
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    # pretrain mode re-corrupts spans per epoch — source text is dynamic
+    ds = SyntheticCaptionDataset(n=8, image_size=32, seed=0, pretrain=True)
+
+    def batch(mode, epoch):
+        dl = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                        max_source_length=24, max_target_length=16,
+                        seed=0, num_workers=2, worker_mode=mode,
+                        shuffle=False)
+        dl.set_epoch(epoch)
+        out = next(iter(dl))
+        dl.close()
+        return out
+
+    p1, p2 = batch("process", 1), batch("process", 2)
+    t2 = batch("thread", 2)
+    assert (p1["source_ids"] != p2["source_ids"]).any()
+    for k in t2:
+        np.testing.assert_array_equal(p2[k], t2[k], err_msg=k)
