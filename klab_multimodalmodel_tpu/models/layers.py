@@ -62,11 +62,19 @@ class LayerNorm(nn.Module):
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
-                          scale: Optional[float] = None) -> jax.Array:
+                          scale: Optional[float] = None,
+                          dropout_rate: float = 0.0,
+                          dropout_rng: Optional[jax.Array] = None
+                          ) -> jax.Array:
     """Reference (XLA) attention: q,k,v are (B, H, L, D).
 
     ``scale=None`` means no 1/sqrt(d) scaling — T5 folds the scale into the
     initialization. Softmax runs in fp32 regardless of the input dtype.
+    Dropout, when enabled, masks the attention PROBABILITIES (HF
+    ``T5Attention`` semantics: ``dropout(softmax(scores)) @ v``) — the same
+    structure as the Pallas in-kernel and ring-streamed backends, so
+    swapping backends changes only the RNG stream, never the form of the
+    stochastic objective.
     """
     dtype = q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -76,6 +84,10 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
                       preferred_element_type=jnp.float32).astype(dtype)
 

@@ -205,10 +205,12 @@ class T5Attention(nn.Module):
                 step_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
                 bias = step_bias if bias is None else bias + step_bias
 
-        attn = dot_product_attention(q, k, v, bias=bias, scale=None)
-        # NOTE: HF applies dropout to attention probs; we keep that but fold
-        # it here (post-softmax) only when training.
-        attn = nn.Dropout(s.dropout_rate)(attn, deterministic=deterministic)
+        # Dropout masks the attention probs (HF T5Attention semantics) —
+        # structurally identical to the Pallas and ring backends.
+        rate = 0.0 if deterministic else s.dropout_rate
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        attn = dot_product_attention(q, k, v, bias=bias, scale=None,
+                                     dropout_rate=rate, dropout_rng=rng)
         attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (inner,))
         return o_proj(attn)
 

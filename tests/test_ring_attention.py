@@ -124,3 +124,25 @@ def test_ring_dropout_matches_oracle():
     oracle = np.einsum("bhqk,bhkd->bhqd", dropped, v)
     np.testing.assert_allclose(np.asarray(ring), oracle, rtol=2e-4,
                                atol=2e-5)
+
+
+def test_xla_attention_dropout_masks_probs():
+    """The default XLA backend's dropout masks the attention PROBABILITIES
+    (HF T5Attention semantics) — the same structure as the ring and Pallas
+    backends, so a backend swap changes only the RNG stream."""
+    from klab_multimodalmodel_tpu.models.layers import dot_product_attention
+
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(2, 3, 8, 4), jnp.float32)
+               for _ in range(3))
+    key = jax.random.PRNGKey(7)
+    rate = 0.4
+    got = dot_product_attention(q, k, v, dropout_rate=rate, dropout_rng=key)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    keep = jax.random.bernoulli(key, 1.0 - rate, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
