@@ -335,6 +335,20 @@ def train(config: Config,
                 "min_val_loss": min_val_loss, "steps": steps,
                 "trainer": trainer, **summary_extra}
 
+    if jax.process_count() > 1:
+        # Align hosts before the first collective execution. Model init and
+        # (cache-hit) compiles above run at different speeds per host; on
+        # CPU rigs the cross-process gloo context init has a fixed 30 s
+        # key-exchange window, so accumulated skew must be reset through
+        # the coordination service (plain TCP barrier, generous timeout)
+        # rather than paid inside the first all-reduce. Free on TPU pods
+        # (one RPC; ICI collectives have no such window).
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            distributed.global_state.client.wait_at_barrier(
+                "klab_train_start", timeout_in_ms=600_000)
+
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)
         set_skip_image_load(train_cache, train_loader)

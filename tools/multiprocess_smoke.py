@@ -67,7 +67,17 @@ def parse_args(argv=None):
     p.add_argument("--bucket_lengths", action="store_true")
     p.add_argument("--pretrain", action="store_true",
                    help="span-corruption synthetic data instead of captions")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="Switch-MoE transformer with the expert axis "
+                        "spanning the whole job — the token-exchange "
+                        "collectives cross the process boundary")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--compile_cache", default="",
+                   help="persistent XLA compile-cache dir shared by the "
+                        "job's processes (and across relaunches). Heavy "
+                        "programs (MoE) can skew two CPU processes' first "
+                        "compiles past gloo's fixed 30 s key-exchange "
+                        "window; a warm cache keeps the skew near zero")
     return p.parse_args(argv)
 
 
@@ -111,6 +121,9 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
                                                  register_swin_size,
@@ -137,6 +150,12 @@ def main(argv=None):
         preempt_sync_steps=args.preempt_sync_steps,
         dcn_mesh_shape=((args.num_processes, 1, 1)
                         if args.dcn_data_parallel else (1, 1, 1)),
+        # MoE mode: expert axis = the global device count, so expert
+        # token-exchange collectives span OS processes (gloo on the CPU
+        # rig, ICI/DCN on pods). Data axis 2 keeps a real batch dimension.
+        moe_experts=args.moe_experts,
+        mesh_shape=((2, 1, 1, 1, 1, -1) if args.moe_experts
+                    else (-1, 1, 1)),
         compute_dtype="float32",
         cache_frozen_features=args.cache_frozen_features,
         bucket_lengths=args.bucket_lengths,
