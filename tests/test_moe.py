@@ -596,3 +596,50 @@ def test_moe_multimodal_phantom_rows_masked_out():
                                float(base.aux_loss), rtol=1e-6)
     np.testing.assert_allclose(float(padded.loss), float(base.loss),
                                rtol=1e-6)
+
+
+def test_moe_beam1_matches_greedy():
+    """Beam search with num_beams=1 on an MoE model must reproduce greedy
+    decode token-for-token (ample capacity => per-token routing identical
+    across decode paths)."""
+    from klab_multimodalmodel_tpu.infer.generate import (beam_search_decode,
+                                                         greedy_decode)
+
+    ids, mask, _ = _t5_inputs()
+    L = 8
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_capacity_factor=8.0)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask,
+                        labels=jnp.zeros((ids.shape[0], L), jnp.int32))["params"]
+    enc = model.apply({"params": params}, input_ids=ids,
+                      attention_mask=mask, method=model.encode)
+    greedy = np.asarray(greedy_decode(model, params, enc, mask, L))
+    beam1 = np.asarray(beam_search_decode(model, params, enc, mask, L,
+                                          num_beams=1))
+    np.testing.assert_array_equal(beam1, greedy)
+
+
+def test_moe_sharded_decode_matches_single_device():
+    """Greedy decode with expert-sharded params on a data x expert mesh
+    produces exactly the single-device tokens — serving an MoE straight
+    from its training shardings works."""
+    from klab_multimodalmodel_tpu.infer.generate import greedy_decode
+
+    ids, mask, _ = _t5_inputs(B=4)
+    L = 8
+    model = T5ForConditionalGeneration(SIZE, moe_experts=4,
+                                       moe_capacity_factor=8.0)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask,
+                        labels=jnp.zeros((4, L), jnp.int32))["params"]
+    enc = model.apply({"params": params}, input_ids=ids,
+                      attention_mask=mask, method=model.encode)
+    want = np.asarray(greedy_decode(model, params, enc, mask, L))
+
+    mesh = make_mesh((2, 1, 1, 1, 1, 4))
+    shardings = make_param_shardings(params, mesh)
+    sharded = jax.device_put(params, shardings)
+    with mesh:
+        got = np.asarray(greedy_decode(model, sharded, enc, mask, L))
+    np.testing.assert_array_equal(got, want)
