@@ -6,6 +6,8 @@ with the reference's ``/root/reference/train.py:108-109``).
 ``klab-eval``: CIDEr-D / BLEU-4 caption evaluation of a trained run over
 COCO val (fills the reference's evaluation gap — it only eyeballs one
 caption in ``visualization.ipynb`` cell 8).
+``klab-caption``: the reference's inference demo (``visualization.ipynb``
+cells 3-8) as a command — load a trained run, caption image files.
 """
 
 from __future__ import annotations
@@ -53,6 +55,48 @@ def eval_main() -> None:
     params = restored["params"] if "params" in restored else restored
     metrics = run(config, params, tokenizer, limit=args.limit)
     print(json.dumps(metrics, indent=2))
+
+
+def caption_main() -> None:
+    import argparse
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from .config import Config
+    from .data.datasets import load_image_resized
+    from .infer.captioner import Captioner
+    from .text import load_tokenizer
+
+    p = argparse.ArgumentParser(
+        description="Caption image files with a trained run "
+                    "(the reference's visualization.ipynb demo)")
+    p.add_argument("images", nargs="+", help="image file paths")
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--prompt", default=None,
+                   help="override the training prompt")
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--num_beams", type=int, default=None)
+    args = p.parse_args()
+
+    with open(os.path.join(args.result_dir, "config.json")) as f:
+        config = Config.from_json(f.read())
+    tokenizer = load_tokenizer(config.tokenizer_path)
+    ckpt_dir = os.path.join(os.path.abspath(args.result_dir),
+                            "checkpoints", args.checkpoint)
+    restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+    params = restored["params"] if "params" in restored else restored
+    captioner = Captioner(config, params, tokenizer)
+    images = np.stack([load_image_resized(path, config.swin.image_size)
+                       for path in args.images])
+    prompts = [args.prompt] * len(args.images) if args.prompt else None
+    captions = captioner.caption(images, prompts=prompts,
+                                 max_length=args.max_length,
+                                 num_beams=args.num_beams)
+    for path, text in zip(args.images, captions):
+        print(f"{path}\t{text}")
 
 
 if __name__ == "__main__":

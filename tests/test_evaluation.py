@@ -154,3 +154,30 @@ def test_evaluate_captions_end_to_end(tmp_path, rng):
     assert metrics["num_images"] == 2
     assert np.isfinite(metrics["CIDEr-D"])
     assert "prediction" in metrics["sample"]
+
+
+@pytest.mark.slow
+def test_caption_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """klab-caption (cli.caption_main): trained run dir + image files ->
+    one tab-separated `path\\tcaption` line per image, through checkpoint
+    restore, host image decode/resize, and the generate path."""
+    import sys
+
+    from PIL import Image
+
+    from klab_multimodalmodel_tpu import cli
+    from test_train import micro_config  # registers micro sizes
+    from klab_multimodalmodel_tpu.train import train
+
+    cfg = micro_config(tmp_path, num_epochs=1)
+    train(cfg)
+
+    img = tmp_path / "img.png"
+    Image.new("RGB", (60, 44), color=(120, 40, 200)).save(img)
+    monkeypatch.setattr(sys, "argv", [
+        "klab-caption", str(img), str(img),
+        "--result_dir", cfg.result_dir, "--max_length", "6"])
+    cli.caption_main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert len(lines) == 2
+    assert all(ln.split("\t")[0] == str(img) for ln in lines)
