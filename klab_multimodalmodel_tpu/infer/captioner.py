@@ -22,8 +22,21 @@ from .generate import generate
 
 
 class Captioner:
+    """Batched caption generation from a trained run's params.
+
+    ``bucket_source=True`` (default) trims the tokenized prompt to the
+    smallest power-of-two column bucket >= the longest real prompt
+    (min 16, capped at ``max_source_length``) before the encoder runs.
+    Caption prompts are short and constant (the reference's 10-token COCO
+    prompt vs ``max_source_length`` 256), so this cuts the frozen text
+    -encoder forward ~16x and the decoder's per-step cross-attention K/V
+    ~4x at the flagship geometry — semantically free, since every trimmed
+    column is pad the attention masks already exclude (the same static
+    -shape 'longest' recovery as the train loop's ``--bucket_lengths``).
+    """
+
     def __init__(self, config: Config, params: Any,
-                 tokenizer: TokenizerBase):
+                 tokenizer: TokenizerBase, bucket_source: bool = True):
         if config.pipeline_stages > 1:
             # Incremental decode is a sequential KV-cache loop — nothing to
             # pipeline. Fold the stage axis back into the scanned-layer
@@ -42,6 +55,7 @@ class Captioner:
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
+        self.bucket_source = bucket_source
         self.model = MultiModalModel(config)
 
     def caption(self, images_uint8: np.ndarray,
@@ -53,11 +67,21 @@ class Captioner:
         B = images_uint8.shape[0]
         prompts = list(prompts) if prompts is not None else [COCO_PROMPT] * B
         enc_in = self.tokenizer(prompts, max_length=cfg.max_source_length)
+        src_ids = np.asarray(enc_in.input_ids)
+        src_mask = np.asarray(enc_in.attention_mask)
+        if self.bucket_source:
+            # Tokenize at full length first so truncation semantics never
+            # change, then trim pad columns to the bucket.
+            longest = int(src_mask.sum(axis=1).max())
+            width = 16
+            while width < longest:
+                width *= 2
+            width = min(width, src_ids.shape[1])
+            src_ids, src_mask = src_ids[:, :width], src_mask[:, :width]
         images = normalize_images(jnp.asarray(images_uint8))
         enc_hidden, enc_mask = self.model.apply(
             {"params": self.params}, images,
-            jnp.asarray(enc_in.input_ids),
-            jnp.asarray(enc_in.attention_mask),
+            jnp.asarray(src_ids), jnp.asarray(src_mask),
             method=self.model.encode_for_generation)
         ids = generate(
             self.model.transformer_module(), self.params["transformer"],

@@ -181,3 +181,44 @@ def test_caption_cli_end_to_end(tmp_path, monkeypatch, capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
     assert len(lines) == 2
     assert all(ln.split("\t")[0] == str(img) for ln in lines)
+
+
+def test_captioner_source_bucketing_token_identical(tmp_path, rng):
+    """bucket_source trims only masked pad columns, so the generated
+    tokens match the full-width run exactly (same model, same seed)."""
+    import jax
+
+    from klab_multimodalmodel_tpu.config import Config
+    from klab_multimodalmodel_tpu.infer.captioner import Captioner
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    from klab_multimodalmodel_tpu.config import (SwinV2Size, T5Size,
+                                                 register_swin_size,
+                                                 register_t5_size)
+    register_t5_size("t5-bucket-micro", T5Size(
+        d_model=32, d_kv=8, d_ff=64, num_layers=1, num_decoder_layers=1,
+        num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0))
+    register_swin_size("swin-bucket-micro", SwinV2Size(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0)))
+    cfg = Config(language_model_name="t5-bucket-micro",
+                 transformer_model_name="t5-bucket-micro",
+                 image_model_name="swin-bucket-micro",
+                 max_source_length=128, generate_max_length=8,
+                 compute_dtype="float32", scan_unroll=1,
+                 result_dir=str(tmp_path / "r"))
+    tok = ByteTokenizer()
+    model = MultiModalModel(cfg)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, cfg.max_source_length), np.int32),
+        np.zeros((1, 4), np.int32))["params"]
+
+    full = Captioner(cfg, params, tok, bucket_source=False).caption(imgs)
+    bucketed = Captioner(cfg, params, tok, bucket_source=True).caption(imgs)
+    assert bucketed == full
