@@ -519,6 +519,11 @@ void encode_with_specials(const UnigramModel& m, const std::string& raw,
 void klab_tok_encode_batch(int handle, const char* texts_blob, int batch,
                            int32_t* out_ids, int32_t* out_mask, int max_len,
                            int pad_id, int eos_id, int n_threads) {
+  // max_len must leave room for eos (cnt is clamped to max_len - 1; a
+  // non-positive max_len would index ids[-1]).
+  if (handle < 0 || handle >= static_cast<int>(g_models.size()) ||
+      max_len < 1 || batch < 1)
+    return;
   const UnigramModel& m = *g_models[handle];
   std::vector<const char*> starts(batch);
   const char* p = texts_blob;
