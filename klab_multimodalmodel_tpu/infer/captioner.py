@@ -69,7 +69,9 @@ class Captioner:
         enc_in = self.tokenizer(prompts, max_length=cfg.max_source_length)
         src_ids = np.asarray(enc_in.input_ids)
         src_mask = np.asarray(enc_in.attention_mask)
-        if self.bucket_source:
+        # In reference_pad_quirks mode pads are deliberately attended
+        # (quirk #3 bit-parity), so trimming them would change results.
+        if self.bucket_source and not cfg.reference_pad_quirks:
             # Tokenize at full length first so truncation semantics never
             # change, then trim pad columns to the bucket.
             longest = int(src_mask.sum(axis=1).max())
