@@ -20,16 +20,31 @@ def main() -> None:
     train(parse_arguments())
 
 
-def eval_main() -> None:
-    import argparse
-    import json
+def _load_run(result_dir: str, checkpoint: str):
+    """(config, tokenizer, params) of a trained run directory — the shared
+    preamble of every inference-side entry point."""
     import os
 
     import orbax.checkpoint as ocp
 
     from .config import Config
-    from .evaluation import run
     from .text import load_tokenizer
+
+    with open(os.path.join(result_dir, "config.json")) as f:
+        config = Config.from_json(f.read())
+    tokenizer = load_tokenizer(config.tokenizer_path)
+    ckpt_dir = os.path.join(os.path.abspath(result_dir),
+                            "checkpoints", checkpoint)
+    restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+    params = restored["params"] if "params" in restored else restored
+    return config, tokenizer, params
+
+
+def eval_main() -> None:
+    import argparse
+    import json
+
+    from .evaluation import run
 
     p = argparse.ArgumentParser(
         description="CIDEr-D / BLEU-4 caption evaluation over COCO val "
@@ -42,32 +57,22 @@ def eval_main() -> None:
     p.add_argument("--num_beams", type=int, default=None)
     args = p.parse_args()
 
-    with open(os.path.join(args.result_dir, "config.json")) as f:
-        config = Config.from_json(f.read())
+    config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
     if args.data_dir:
         config.data_dir = args.data_dir
     if args.num_beams:
         config.num_beams = args.num_beams
-    tokenizer = load_tokenizer(config.tokenizer_path)
-    ckpt_dir = os.path.join(os.path.abspath(args.result_dir),
-                            "checkpoints", args.checkpoint)
-    restored = ocp.StandardCheckpointer().restore(ckpt_dir)
-    params = restored["params"] if "params" in restored else restored
     metrics = run(config, params, tokenizer, limit=args.limit)
     print(json.dumps(metrics, indent=2))
 
 
 def caption_main() -> None:
     import argparse
-    import os
 
     import numpy as np
-    import orbax.checkpoint as ocp
 
-    from .config import Config
     from .data.datasets import load_image_resized
     from .infer.captioner import Captioner
-    from .text import load_tokenizer
 
     p = argparse.ArgumentParser(
         description="Caption image files with a trained run "
@@ -76,22 +81,18 @@ def caption_main() -> None:
     p.add_argument("--result_dir", required=True)
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--prompt", default=None,
-                   help="override the training prompt")
+                   help="override the training prompt (an explicitly "
+                        "empty string probes promptless decoding)")
     p.add_argument("--max_length", type=int, default=None)
     p.add_argument("--num_beams", type=int, default=None)
     args = p.parse_args()
 
-    with open(os.path.join(args.result_dir, "config.json")) as f:
-        config = Config.from_json(f.read())
-    tokenizer = load_tokenizer(config.tokenizer_path)
-    ckpt_dir = os.path.join(os.path.abspath(args.result_dir),
-                            "checkpoints", args.checkpoint)
-    restored = ocp.StandardCheckpointer().restore(ckpt_dir)
-    params = restored["params"] if "params" in restored else restored
+    config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
     captioner = Captioner(config, params, tokenizer)
     images = np.stack([load_image_resized(path, config.swin.image_size)
                        for path in args.images])
-    prompts = [args.prompt] * len(args.images) if args.prompt else None
+    prompts = ([args.prompt] * len(args.images)
+               if args.prompt is not None else None)
     captions = captioner.caption(images, prompts=prompts,
                                  max_length=args.max_length,
                                  num_beams=args.num_beams)

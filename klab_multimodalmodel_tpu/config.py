@@ -377,7 +377,12 @@ class Config:
         # expert factor placed in --dcn_mesh_shape must trip the same
         # validation (it would otherwise build a replicated axis nothing
         # shards over: a correct-looking run at half throughput).
-        def _axis(name: str) -> int:
+        # Returns None when the factor is the -1 wildcard ("remaining
+        # devices", resolved against the device count at mesh build):
+        # size-dependent checks (divisibility, == stages) are skipped for
+        # it, but the requires-a-flag checks still fire — an explicit -1
+        # on a special axis states intent to use that axis.
+        def _axis(name: str) -> int | None:
             try:
                 i = self.mesh_axis_names.index(name)
             except ValueError:
@@ -385,6 +390,8 @@ class Config:
             ici = self.mesh_shape[i] if i < len(self.mesh_shape) else 1
             dcn = (self.dcn_mesh_shape[i]
                    if i < len(self.dcn_mesh_shape) else 1)
+            if ici == -1 or dcn == -1:
+                return None
             return ici * dcn
 
         if self.pipeline_stages > 1:
@@ -397,7 +404,7 @@ class Config:
                 raise ValueError(
                     "pipeline_stages > 1 with use_pallas_t5_attention is "
                     "not supported; drop one of the flags")
-            if _axis("pipe") not in (1, self.pipeline_stages):
+            if _axis("pipe") not in (None, 1, self.pipeline_stages):
                 raise ValueError(
                     f"mesh pipe axis {_axis('pipe')} must equal "
                     f"pipeline_stages={self.pipeline_stages} (or 1 to run "
@@ -423,10 +430,12 @@ class Config:
                     "supported (the MoE aux loss does not thread through "
                     "the pipeline tick schedule); shard experts with the "
                     "mesh expert axis instead")
-            if self.moe_experts % max(_axis("expert"), 1) != 0:
+            expert_axis = _axis("expert")
+            if (expert_axis is not None
+                    and self.moe_experts % max(expert_axis, 1) != 0):
                 raise ValueError(
                     f"moe_experts={self.moe_experts} must be divisible by "
-                    f"the mesh expert axis {_axis('expert')}")
+                    f"the mesh expert axis {expert_axis}")
             if self.moe_capacity_factor <= 0:
                 raise ValueError("moe_capacity_factor must be positive")
             if self.bucket_lengths:

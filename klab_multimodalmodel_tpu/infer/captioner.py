@@ -71,7 +71,12 @@ class Captioner:
         src_mask = np.asarray(enc_in.attention_mask)
         # In reference_pad_quirks mode pads are deliberately attended
         # (quirk #3 bit-parity), so trimming them would change results.
-        if self.bucket_source and not cfg.reference_pad_quirks:
+        # MoE models are excluded too: expert capacity quantizes on the
+        # STATIC padded width (ops/moe.py:moe_capacity), so trimming
+        # changes which tokens overflow — same reason config.py refuses
+        # bucket_lengths with moe_experts.
+        if (self.bucket_source and not cfg.reference_pad_quirks
+                and not cfg.moe_experts):
             # Tokenize at full length first so truncation semantics never
             # change, then trim pad columns to the bucket.
             longest = int(src_mask.sum(axis=1).max())

@@ -50,6 +50,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.klab_tok_encode_batch.restype = ctypes.c_int
         lib.klab_tok_add_special.argtypes = [
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.klab_tok_add_special.restype = ctypes.c_int
@@ -190,10 +191,16 @@ class NativeUnigramEncoder:
         B = len(texts)
         ids = np.empty((B, max_len), np.int32)
         mask = np.empty((B, max_len), np.int32)
-        self._lib.klab_tok_encode_batch(
+        rc = self._lib.klab_tok_encode_batch(
             self._handle, blob, B, ids.ctypes.data_as(ctypes.c_void_p),
             mask.ctypes.data_as(ctypes.c_void_p), max_len, pad_id, eos_id,
             n_threads)
+        if rc != 0:
+            # The buffers were never written (np.empty garbage) — fail
+            # loudly rather than hand back uninitialized "tokens".
+            raise ValueError(
+                f"native encode_batch rejected its inputs (rc={rc}): "
+                f"handle={self._handle}, max_len={max_len}, batch={B}")
         return ids, mask
 
 

@@ -40,6 +40,10 @@ from .feature_cache import FrozenFeatureCache, swin_feature_shape
 from .optim import make_lr_schedule
 from .trainer import Trainer
 
+# Coordination-service barrier ids are single-use; see the train-start
+# barrier below.
+_TRAIN_BARRIER_SEQ = 0
+
 
 def train(config: Config,
           train_loader: Optional[DataLoader] = None,
@@ -342,12 +346,24 @@ def train(config: Config,
         # key-exchange window, so accumulated skew must be reset through
         # the coordination service (plain TCP barrier, generous timeout)
         # rather than paid inside the first all-reduce. Free on TPU pods
-        # (one RPC; ICI collectives have no such window).
-        from jax._src import distributed
+        # (one RPC; ICI collectives have no such window). Best-effort: the
+        # client handle is a private jax API, so a missing attribute after
+        # an upgrade degrades to no barrier, never to a crash. Barrier ids
+        # are single-use per coordination service; the counter keeps
+        # repeated train() calls in one distributed process in step
+        # (every process runs the same call sequence).
+        try:
+            from jax._src import distributed
 
-        if distributed.global_state.client is not None:
-            distributed.global_state.client.wait_at_barrier(
-                "klab_train_start", timeout_in_ms=600_000)
+            client = distributed.global_state.client
+        except Exception:
+            client = None
+        if client is not None:
+            global _TRAIN_BARRIER_SEQ
+            _TRAIN_BARRIER_SEQ += 1
+            client.wait_at_barrier(
+                f"klab_train_start_{_TRAIN_BARRIER_SEQ}",
+                timeout_in_ms=600_000)
 
     for epoch in range(start_epoch, num_epochs + 1):
         train_loader.set_epoch(epoch)

@@ -515,15 +515,17 @@ void encode_with_specials(const UnigramModel& m, const std::string& raw,
 // Batch encode with fixed-shape padding. texts: NUL-separated utf-8 blob of
 // `batch` strings. out_ids/out_mask: (batch, max_len) int32, pre-allocated.
 // Applies the full normalizer/pre-tokenizer chain (see encode_one); eos
-// appended; pad_id fills the remainder.
-void klab_tok_encode_batch(int handle, const char* texts_blob, int batch,
-                           int32_t* out_ids, int32_t* out_mask, int max_len,
-                           int pad_id, int eos_id, int n_threads) {
+// appended; pad_id fills the remainder. Returns 0 on success, -1 on an
+// invalid handle/max_len/batch (outputs untouched — the caller must treat
+// the buffers as garbage and raise).
+int klab_tok_encode_batch(int handle, const char* texts_blob, int batch,
+                          int32_t* out_ids, int32_t* out_mask, int max_len,
+                          int pad_id, int eos_id, int n_threads) {
   // max_len must leave room for eos (cnt is clamped to max_len - 1; a
   // non-positive max_len would index ids[-1]).
   if (handle < 0 || handle >= static_cast<int>(g_models.size()) ||
       max_len < 1 || batch < 1)
-    return;
+    return -1;
   const UnigramModel& m = *g_models[handle];
   std::vector<const char*> starts(batch);
   const char* p = texts_blob;
@@ -555,6 +557,7 @@ void klab_tok_encode_batch(int handle, const char* texts_blob, int batch,
     });
   }
   for (auto& th : threads) th.join();
+  return 0;
 }
 
 // (A C++ epoch-shuffle generator used to live here; excised: numpy's
