@@ -13,9 +13,11 @@ pycocoevalcap's ``PTBTokenizer`` does (Stanford PTBTokenizer via Java with
 list): the Penn-Treebank sed-script rules (contraction splitting, quote
 normalization to \\`\\`/'', -LRB-/-RRB- bracket forms, final-period and
 ellipsis handling), lowercased, with the official punctuation tokens
-dropped. Scores computed here therefore use the same token streams as any
-externally published COCO-caption number. ``simple_tokenize`` remains as a
-dependency-free fallback.
+dropped — including the official quirk that lowercased bracket tokens
+(``-lrb-`` …) survive the uppercase removal list. Scores computed here
+therefore use the same token streams as any externally published
+COCO-caption number. ``simple_tokenize`` remains as a dependency-free
+fallback.
 """
 
 from __future__ import annotations
@@ -75,7 +77,9 @@ _CONTRACTIONS3 = [re.compile(p) for p in (
 
 # pycocoevalcap tokenizer.py PUNCTUATIONS — tokens the official COCO eval
 # drops after PTB tokenization (note: -LSB-/-RSB- are deliberately absent
-# there, so they are kept here too).
+# there, so they are kept here too; and since the official filter runs on
+# ALREADY-LOWERCASED tokens, the uppercase bracket entries below never
+# match anything — see ptb_tokenize).
 PTB_PUNCTUATIONS = frozenset([
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";"])
@@ -101,8 +105,17 @@ def _treebank_tokens(text: str) -> List[str]:
 
 def ptb_tokenize(text: str) -> List[str]:
     """Official COCO-eval tokenization: PTB rules, lowercase, punctuation
-    tokens removed (pycocoevalcap ``PTBTokenizer.tokenize`` semantics)."""
-    return [t.lower() for t in _treebank_tokens(text)
+    tokens removed (pycocoevalcap ``PTBTokenizer.tokenize`` semantics).
+
+    Order matters: the official pipeline lowercases FIRST (the Java
+    tokenizer runs with ``-lowerCase``) and only then filters against the
+    uppercase ``PUNCTUATIONS`` list — so bracket tokens come through as
+    ``-lrb-``/``-rrb-``/``-lcb-``/``-rcb-`` and are KEPT (they never match
+    the uppercase list entries), while the case-invariant punctuation
+    tokens are dropped. A filter on the pre-lowercase tokens would drop
+    brackets and diverge from every externally published COCO number on
+    bracket-containing captions."""
+    return [t for t in (tok.lower() for tok in _treebank_tokens(text))
             if t not in PTB_PUNCTUATIONS]
 
 

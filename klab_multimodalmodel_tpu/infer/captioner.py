@@ -18,6 +18,7 @@ from ..data.datasets import COCO_PROMPT
 from ..data.image_ops import normalize_images
 from ..models.multimodal import MultiModalModel
 from ..text.tokenizer import TokenizerBase
+from ..utils.bucketing import pow2_bucket_width
 from .generate import generate
 
 
@@ -49,9 +50,22 @@ class Captioner:
             params = dict(params)
             params["transformer"] = unpipeline_t5_params(
                 params["transformer"])
+            # Reset the pipe factor to 1 in BOTH mesh fields: the pipeline
+            # factor may live on the DCN axis (--dcn_mesh_shape; config
+            # validates ici*dcn == stages), and leaving either non-1 makes
+            # dataclasses.replace fail re-validation.
+            pipe_idx = config.mesh_axis_names.index("pipe")
+
+            def _reset_pipe(shape):
+                s = list(shape)
+                if pipe_idx < len(s):
+                    s[pipe_idx] = 1
+                return tuple(s)
+
             config = dataclasses.replace(
                 config, pipeline_stages=1, pipeline_microbatches=0,
-                mesh_shape=config.mesh_shape[:4] + (1,))
+                mesh_shape=_reset_pipe(config.mesh_shape),
+                dcn_mesh_shape=_reset_pipe(config.dcn_mesh_shape))
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
@@ -78,12 +92,9 @@ class Captioner:
         if (self.bucket_source and not cfg.reference_pad_quirks
                 and not cfg.moe_experts):
             # Tokenize at full length first so truncation semantics never
-            # change, then trim pad columns to the bucket.
-            longest = int(src_mask.sum(axis=1).max())
-            width = 16
-            while width < longest:
-                width *= 2
-            width = min(width, src_ids.shape[1])
+            # change, then trim pad columns to the bucket (the SAME width
+            # policy as the train loop's --bucket_lengths; utils/bucketing).
+            width = pow2_bucket_width(src_mask, 16)
             src_ids, src_mask = src_ids[:, :width], src_mask[:, :width]
         images = normalize_images(jnp.asarray(images_uint8))
         enc_hidden, enc_mask = self.model.apply(

@@ -159,7 +159,9 @@ class T5Attention(nn.Module):
 
         if (self.ring_attention and not decode and not is_cross
                 and pallas_pack is None
-                and ring_applicable(q.shape[2], k.shape[2])):
+                and ring_applicable(q.shape[2], k.shape[2],
+                                    batch=q.shape[0],
+                                    num_heads=q.shape[1])):
             # Sequence-parallel ring attention (--seq_attention ring): K/V
             # stream over the seq axis instead of being all-gathered;
             # attention-prob dropout runs inside the ring (numerator-mask,

@@ -92,14 +92,35 @@ def _local_ring_attention(q, k, v, bias_rows, dropout_mask_fn,
     return (num / den[..., None]).astype(orig_dtype)
 
 
-def ring_applicable(q_len: int, k_len: int, axis_name: str = "seq") -> bool:
+def ring_applicable(q_len: int, k_len: int, axis_name: str = "seq",
+                    batch: Optional[int] = None,
+                    num_heads: Optional[int] = None) -> bool:
     """True when the ambient mesh has a nontrivial ``axis_name`` axis and
-    both sequence lengths divide it (the call-site gate for the ring path)."""
+    the shapes divide it (the call-site gate for the ring path).
+
+    ``ring_self_attention``'s shard_map also splits the batch dim over
+    (data, fsdp) and the head dim over tensor, so when ``batch``/
+    ``num_heads`` are given they must divide those mesh factors too —
+    otherwise the shard_map raises at trace time. Trainer.init_state traces
+    the model on a tiny example batch that need not divide the data axes;
+    falling back to the dense path there is free (params are identical),
+    and real train batches already satisfy batch % (data*fsdp) == 0 from
+    the input sharding."""
     mesh = _ambient_mesh()
     if (mesh is None or axis_name not in mesh.axis_names
             or mesh.shape[axis_name] == 1):
         return False
     n = mesh.shape[axis_name]
+    if batch is not None:
+        dp = 1
+        for a in ("data", "fsdp"):
+            if a in mesh.axis_names:
+                dp *= mesh.shape[a]
+        if batch % dp != 0:
+            return False
+    if num_heads is not None and "tensor" in mesh.axis_names:
+        if num_heads % mesh.shape["tensor"] != 0:
+            return False
     return q_len % n == 0 and k_len % n == 0 and q_len == k_len
 
 

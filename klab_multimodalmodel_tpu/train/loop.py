@@ -34,6 +34,7 @@ from ..obs.logger import get_logger
 from ..obs.metrics import LossCounter
 from ..obs.tb import ScalarWriter
 from ..text.tokenizer import load_tokenizer
+from ..utils.bucketing import pow2_bucket_width
 from ..utils.cache import enable_compile_cache
 from ..utils.mesh import make_mesh, maybe_init_distributed
 from .feature_cache import FrozenFeatureCache, swin_feature_shape
@@ -207,15 +208,8 @@ def train(config: Config,
         if not config.bucket_lengths:
             return batch
 
-        def width(mask, lo):
-            longest = int(mask.sum(axis=1).max())
-            b = lo
-            while b < longest:
-                b *= 2
-            return min(b, mask.shape[1])
-
-        sb = width(batch["source_mask"], 16)
-        tb = width(batch["target_mask"], 8)
+        sb = pow2_bucket_width(batch["source_mask"], 16)
+        tb = pow2_bucket_width(batch["target_mask"], 8)
         out = dict(batch)
         for k, b in (("source_ids", sb), ("source_mask", sb),
                      ("target_ids", tb), ("target_mask", tb)):

@@ -17,8 +17,10 @@ def test_tokenize():
 def test_ptb_tokenize_official_semantics():
     """Canonical PTB behaviors + the pycocoevalcap punctuation removal:
     contractions split (so "man's" scores as `man 's`, not `mans`),
-    possessives kept, punctuation tokens dropped, brackets normalized to
-    -LRB-/-RRB- and removed per the official list."""
+    possessives kept, punctuation tokens dropped. Brackets normalize to
+    -LRB-/-RRB- and are KEPT (lowercased): the official pipeline lowercases
+    before filtering against its uppercase PUNCTUATIONS list, so `-lrb-`
+    never matches an entry."""
     assert ptb_tokenize("A man's dog.") == ["a", "man", "'s", "dog"]
     assert ptb_tokenize("They'll save and invest more.") == [
         "they", "'ll", "save", "and", "invest", "more"]
@@ -26,9 +28,13 @@ def test_ptb_tokenize_official_semantics():
         "i", "ca", "n't", "swim", "he", "can", "not", "either"]
     assert ptb_tokenize("Good muffins cost $3.88 in New York.") == [
         "good", "muffins", "cost", "$", "3.88", "in", "new", "york"]
-    # -LRB-/-RRB- are in the official removal list; U.S. keeps its periods
+    # Brackets: lowercased -lrb-/-rrb- escape the uppercase removal list
+    # (official pycocoevalcap behavior); U.S. keeps its periods.
     assert ptb_tokenize('He said, "hi (there)" to the U.S. crowd...') == [
-        "he", "said", "hi", "there", "to", "the", "u.s.", "crowd"]
+        "he", "said", "hi", "-lrb-", "there", "-rrb-", "to", "the",
+        "u.s.", "crowd"]
+    assert ptb_tokenize("a dog {brown} [spotted]") == [
+        "a", "dog", "-lcb-", "brown", "-rcb-", "-lsb-", "spotted", "-rsb-"]
     assert ptb_tokenize("a red--blue sign: nice?") == [
         "a", "red", "blue", "sign", "nice"]
 

@@ -334,6 +334,23 @@ def test_captioner_unpipelines_params():
     assert "layers" in cap.params["transformer"]["encoder"]
     assert "pipeline" not in cap.params["transformer"]["encoder"]
 
+    # Regression: the pipeline factor may live on the DCN axis instead
+    # (config validates ici*dcn == stages) — the Captioner's fallback must
+    # reset THAT factor too, or dataclasses.replace fails re-validation.
+    dcn_cfg = Config(language_model_name="t5-pipe-micro",
+                     transformer_model_name="t5-pipe-micro",
+                     image_model_name="swin-pipe-micro",
+                     max_source_length=48, max_target_length=24,
+                     batch_size=1, compute_dtype="float32",
+                     mesh_shape=(2, 1, 1, 1, 1),
+                     dcn_mesh_shape=(1, 1, 1, 1, 2), pipeline_stages=2,
+                     pipeline_microbatches=2, scan_unroll=1,
+                     data_dir="synthetic")
+    cap2 = Captioner(dcn_cfg, {"transformer": pparams}, ByteTokenizer())
+    assert cap2.config.pipeline_stages == 1
+    assert cap2.config.mesh_shape[4] == 1
+    assert cap2.config.dcn_mesh_shape[4] == 1
+
 
 def test_pipeline_config_validation():
     common = dict(data_dir="synthetic")

@@ -96,6 +96,17 @@ def test_ring_attention_train_equivalence():
             err_msg=f"ring param mismatch: {key}")
 
 
+def test_ring_attention_wide_data_axis():
+    """Regression: data*fsdp > 2 with ring attention. init_state traces the
+    model on a tiny 2-row example batch that does NOT divide the (data,
+    fsdp) axes the ring shard_map splits over — ring_applicable must gate
+    on batch divisibility and fall back to dense there (identical params),
+    while real divisible train batches still take the ring path."""
+    base_losses, _ = _run((1, 1, 1), devices=jax.devices()[:1])
+    losses, _ = _run((4, 1, 1, 2), seq_attention="ring")
+    np.testing.assert_allclose(losses, base_losses, rtol=2e-5)
+
+
 def test_seq_axis_inserts_collectives():
     """A pure-SP mesh (1,1,1,8) must actually partition: with every other
     axis 1, a no-op seq constraint would compile to zero collectives (all
