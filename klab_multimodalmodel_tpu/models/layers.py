@@ -74,7 +74,11 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     ``T5Attention`` semantics: ``dropout(softmax(scores)) @ v``) — the same
     structure as the Pallas in-kernel and ring-streamed backends, so
     swapping backends changes only the RNG stream, never the form of the
-    stochastic objective.
+    stochastic objective. The mask applies to the POST-CAST (compute-dtype)
+    probs: the (B, H, L, L) mask/scale work is the dominant dropout cost
+    (~200M elements/step at the bench geometry), and running it at bf16
+    instead of fp32 recovers ~5 ms/step (measured, BASELINE.md) with only
+    dropout-path rounding changed — form and keep probability are exact.
     """
     dtype = q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -83,12 +87,14 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
+        probs = jnp.where(keep,
+                          probs / jnp.asarray(1.0 - dropout_rate, dtype),
+                          jnp.zeros((), dtype))
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
