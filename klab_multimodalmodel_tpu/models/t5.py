@@ -30,7 +30,8 @@ from ..config import T5Size
 from ..ops.fused_attention import (pack_head_bias, pick_group,
                                    t5_fused_attention_packed)
 from ..ops.ring_attention import ring_applicable, ring_self_attention
-from ..parallel.partitioning import pipe_constraint, seq_constraint
+from ..parallel.partitioning import (pipe_constraint, seq_constraint,
+                                     tick_constraint)
 from .layers import NEG_INF, RMSNorm, dot_product_attention
 
 Dtype = Any
@@ -733,7 +734,14 @@ class T5Stack(nn.Module):
 
         def to_ticks(arr):
             a = arr.reshape((M, rows) + arr.shape[1:])
-            return jnp.take(a, idx, axis=0)
+            a = jnp.take(a, idx, axis=0)
+            # Pin the tick stack's sharding: tick axis replicated, rows on
+            # the data axes. Without this the (M, rows, …) reshape of the
+            # batch-sharded input propagates a partial tick-axis sharding
+            # into the scan, and the per-tick dynamic-slice feeding stage 0
+            # triggers XLA's "involuntary full rematerialization"
+            # (replicate-then-reshard) inside the tick loop.
+            return tick_constraint(a)
 
         mb = {"x": to_ticks(x)}
         carried = []

@@ -167,6 +167,28 @@ def seq_constraint(x: jax.Array, seq_dim: int = 1) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def tick_constraint(x: jax.Array) -> jax.Array:
+    """Constrain a pipeline microbatch TICK stack ``(T, rows, …)``: tick
+    axis replicated, rows on the data-like axes.
+
+    The tick stack is built by reshaping the batch-sharded input to
+    ``(M, rows, …)`` — without a constraint XLA propagates part of the
+    batch sharding onto the tick axis, and the per-tick dynamic-slice that
+    feeds stage 0 inside the scan then needs an "involuntary full
+    rematerialization" (replicate-then-reshard) every tick. No-op without
+    an ambient mesh with a nontrivial ``pipe`` axis (matching
+    ``pipe_constraint``'s gate, since the stack only exists on the
+    pipelined path)."""
+    mesh = _ambient_mesh()
+    if (mesh is None or "pipe" not in mesh.axis_names
+            or mesh.shape["pipe"] == 1):
+        return x
+    spec = [None] * x.ndim
+    if x.ndim > 1:
+        spec[1] = ("data", "fsdp")
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def pipe_constraint(x: jax.Array) -> jax.Array:
     """Constrain a per-stage buffer's leading dim onto the ``pipe`` axis.
 
