@@ -125,7 +125,11 @@ class DataLoader:
             order = np.arange(n)
         num_batches = len(self)
         usable = num_batches * self.global_batch_size
-        order = order[:usable]
+        # drop_last=True truncates the tail; drop_last=False wraps indices
+        # from the start of the epoch order to fill the final batch (torch
+        # DistributedSampler's pad semantics — every batch keeps the static
+        # global shape XLA needs, some samples repeat within the epoch).
+        order = np.resize(order, usable)
         # contiguous per-batch blocks; this host takes its slice of each
         local = order.reshape(num_batches, self.process_count,
                               self.local_batch_size)[:, self.process_index]

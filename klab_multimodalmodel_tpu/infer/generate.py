@@ -123,9 +123,15 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
     scores = top_logp  # (B, K) cumulative log-probs of live beams
     finished = top_tok == size.eos_token_id
     # Finalized-hypothesis store: best finished score + tokens per batch.
+    # Beams that finish AT the first expansion must seed their tokens too
+    # ([decoder_start, eos, pad...]) — the loop body only writes tokens for
+    # later finishes, so an unseeded store would return all-pad rows for
+    # hypotheses whose stored score wins.
     best_scores = jnp.where(finished,
                             scores / (2.0 ** length_penalty),
                             jnp.full_like(scores, NEG))
+    best_tokens0 = jnp.where(finished[:, :, None], tokens,
+                             jnp.full_like(tokens, size.pad_token_id))
     scores = jnp.where(finished, NEG, scores)
 
     def cond(carry):
@@ -207,7 +213,6 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
         return (step + 1, tokens, new_scores, cache, best_scores,
                 best_tokens)
 
-    best_tokens0 = jnp.full((B, K, max_length), size.pad_token_id, jnp.int32)
     init = (jnp.asarray(1, jnp.int32), tokens, scores, cache, best_scores,
             best_tokens0)
     (_, tokens, scores, _, best_scores, best_tokens) = jax.lax.while_loop(

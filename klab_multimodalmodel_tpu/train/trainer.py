@@ -72,8 +72,21 @@ class Trainer:
         }
 
     def init_state(self, rng: jax.Array, global_batch: int) -> TrainState:
-        """Initialize params/opt-state directly into their shardings."""
+        """Initialize params/opt-state directly into their shardings.
+
+        ``global_batch`` is the per-update batch the caller will feed
+        ``train_step``; it is validated against the mesh's batch axes here
+        (fail-at-init instead of a shard_map/device_put error mid-run).
+        State init itself traces a tiny shape-only example batch.
+        """
         cfg = self.config
+        dp = 1
+        for axis in ("data", "fsdp"):
+            dp *= self.mesh.shape.get(axis, 1)
+        if global_batch % dp:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by the mesh's "
+                f"data x fsdp factor {dp} (mesh {dict(self.mesh.shape)})")
         example = self.example_batch(2)  # tiny batch is enough for shapes
 
         def init_fn(rng):
@@ -312,9 +325,15 @@ class Trainer:
 class _MeshStep:
     """Callable proxy over a jitted step that enters the mesh context.
 
-    Forwards ``lower``/``eval_shape``/any other jit attribute so AOT users
-    (``step.lower(...)``) keep working.
+    Every trace-inducing jit attribute (``lower``/``trace``/``eval_shape``)
+    is wrapped to run INSIDE the mesh context: the step body's
+    ``*_constraint`` helpers (seq/pipe/tick/expert) silently no-op without
+    an ambient mesh, so a bare-forwarded trace would produce a program
+    missing those shardings — not the one ``step(...)`` runs. Other
+    attributes forward untouched.
     """
+
+    _TRACING = ("lower", "trace", "eval_shape")
 
     def __init__(self, fn, mesh):
         self._fn = fn
@@ -324,9 +343,11 @@ class _MeshStep:
         with self._mesh:
             return self._fn(*args, **kwargs)
 
-    def lower(self, *args, **kwargs):
-        with self._mesh:
-            return self._fn.lower(*args, **kwargs)
-
     def __getattr__(self, name):
-        return getattr(self._fn, name)
+        attr = getattr(self._fn, name)
+        if name in self._TRACING and callable(attr):
+            def inside_mesh(*args, **kwargs):
+                with self._mesh:
+                    return attr(*args, **kwargs)
+            return inside_mesh
+        return attr

@@ -126,6 +126,25 @@ def test_dataloader_batches_and_sharding():
     assert set(i0.ravel()).isdisjoint(set(i1.ravel()))
 
 
+def test_dataloader_drop_last_false_wraps():
+    """drop_last=False keeps the static batch shape by wrapping indices
+    from the epoch start into the final batch (torch DistributedSampler's
+    pad semantics) instead of crashing on the non-divisible tail."""
+    ds = SyntheticCaptionDataset(n=10, image_size=32)
+    tok = ByteTokenizer()
+    dl = DataLoader(ds, tok, global_batch_size=4, max_source_length=48,
+                    max_target_length=24, seed=0, drop_last=False)
+    assert len(dl) == 3
+    idx = dl.epoch_indices()
+    assert idx.shape == (3, 4)
+    flat = idx.ravel()
+    assert set(flat) == set(range(10))  # every sample appears
+    assert np.array_equal(flat[10:], flat[:2])  # tail wraps the start
+    batches = list(dl)
+    assert len(batches) == 3
+    assert all(b["images"].shape[0] == 4 for b in batches)
+
+
 def test_dataloader_epoch_reshuffle():
     ds = SyntheticCaptionDataset(n=32, image_size=32)
     tok = ByteTokenizer()

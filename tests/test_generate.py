@@ -127,6 +127,55 @@ def test_beam_search_matches_hf_stress(hf_lm, setup, seed):
     assert (ours[:, L:] == TINY.pad_token_id).all()
 
 
+def test_beam_first_step_eos_hypothesis_kept():
+    """Regression: a hypothesis that finishes AT the first expansion
+    ([decoder_start, eos]) must be stored with its tokens, not just its
+    score — an unseeded token store returned all-pad rows whenever that
+    hypothesis won. Forces the case surgically: an untied lm_head whose
+    eos row is aligned with the probed step-0 decoder hidden state, so
+    row 0's first decode step argmaxes to eos; then requires token-exact
+    agreement with HF beam search."""
+    import dataclasses
+
+    size = dataclasses.replace(TINY, tie_word_embeddings=False)
+    torch.manual_seed(3)
+    cfg = transformers.T5Config(
+        vocab_size=size.vocab_size, d_model=32, d_kv=8, d_ff=64,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        dropout_rate=0.0, decoder_start_token_id=0, pad_token_id=0,
+        eos_token_id=1, tie_word_embeddings=False)
+    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    ids = np.random.default_rng(7).integers(2, size.vocab_size, size=(2, 6))
+    with torch.no_grad():
+        probe = hf(input_ids=torch.tensor(ids),
+                   decoder_input_ids=torch.zeros((2, 1), dtype=torch.long),
+                   output_hidden_states=True)
+        h0 = probe.decoder_hidden_states[-1][0, 0]  # row 0, step 0 hidden
+        hf.lm_head.weight[size.eos_token_id] = 40.0 * h0 / (h0 @ h0)
+        out = hf(input_ids=torch.tensor(ids),
+                 decoder_input_ids=torch.zeros((2, 1), dtype=torch.long))
+    assert int(out.logits[0, 0].argmax()) == size.eos_token_id
+
+    max_length = 10
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.tensor(ids),
+                          max_length=max_length, num_beams=4,
+                          do_sample=False, length_penalty=1.0,
+                          early_stopping=False).numpy()
+    assert ref[0, 1] == size.eos_token_id, \
+        "forced first-step-eos hypothesis no longer wins in HF"
+    model = T5ForConditionalGeneration(size)
+    params = convert_t5_lm(hf.state_dict(), size)
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    ours = np.asarray(beam_search_decode(model, params, enc, None,
+                                         max_length, 4, 1.0))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
+    assert (ours[:, L:] == size.pad_token_id).all()
+
+
 def test_greedy_handles_padded_encoder_mask(setup, rng):
     """Generation with a padded source: masked encoder positions must not
     influence the output (cross-attention kmask path in the decode loop)."""
