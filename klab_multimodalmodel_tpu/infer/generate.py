@@ -8,9 +8,19 @@ as a single jit-compiled ``lax.while_loop`` over an incremental decoder with
 fixed-shape KV caches (``T5Attention`` decode mode) — the p50-latency hot
 loop of BASELINE.md.
 
-Beam search (BASELINE.json config 5) follows the HF algorithm: length
-penalty ``sum(logp) / len**alpha``, beams folded into the batch dimension so
-cache updates stay one dynamic-update-slice per step.
+Beam search (BASELINE.json config 5) is a token-exact port of HF's
+vectorized ``GenerationMixin._beam_search`` (transformers >= 4.50, the
+flax-derived refactor) at its T5 defaults — ``do_sample=False``,
+``early_stopping=False``, one eos token (``beams_to_keep = 2·num_beams``):
+per step, top-2K candidates over K·V scores; the K best *non-finished*
+candidates continue as running beams; candidates that hit a stopping
+criterion (eos, or the sequence reaching ``max_length``) and rank inside
+the top K merge into a K-slot finished store under the length penalty
+``sum(logp) / generated_len**alpha`` (``generated_len`` excludes the
+decoder-start token); a per-row early-stop heuristic freezes the store
+once the best running beam can no longer beat the worst stored finished
+hypothesis. Beams are folded into the batch dimension so cache updates
+stay one dynamic-update-slice per step.
 """
 
 from __future__ import annotations
@@ -23,7 +33,6 @@ import jax.numpy as jnp
 
 from ..models.t5 import T5ForConditionalGeneration
 
-NEG = -1e7
 
 
 def _init_cache(model: T5ForConditionalGeneration, params: Any,
@@ -94,11 +103,21 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
                        encoder_mask: Optional[jax.Array],
                        max_length: int = 20, num_beams: int = 4,
                        length_penalty: float = 1.0) -> jax.Array:
-    """HF-style beam search; returns the best hypothesis, (B, max_length)."""
+    """HF-exact beam search; returns the best hypothesis, (B, max_length).
+
+    Mirrors ``GenerationMixin._beam_search`` step for step (see module
+    docstring). The index bookkeeping: loop variable ``s`` counts tokens
+    generated so far (HF's ``cur_len - decoder_prompt_len``); the step
+    writes candidate tokens at sequence index ``s + 1`` and normalizes
+    finished candidates by ``(s + 1) ** length_penalty`` (HF's
+    ``generated_len = cur_len + 1 - decoder_prompt_len``).
+    """
     size = model.size
     B = encoder_hidden.shape[0]
     K = num_beams
     V = size.vocab_size
+    K2 = 2 * K  # HF beams_to_keep = max(2, 1 + n_eos_tokens) * num_beams
+    NEG9 = jnp.float32(-1.0e9)  # HF's additive -1e9 masking, bit-for-bit
 
     # Fold beams into batch: every tensor becomes (B*K, ...).
     def tile(x):
@@ -110,97 +129,78 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
     mask = tile(encoder_mask)
     start = jnp.full((B * K, 1), size.decoder_start_token_id, jnp.int32)
     logits0, cache = _init_cache(model, params, enc, mask, start, max_length)
-    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32))  # (B*K, V)
 
-    # First expansion: all beams share the same prefix, so take the top-K
-    # continuations of beam 0 only.
-    first = logp0.reshape(B, K, V)[:, 0]
-    top_logp, top_tok = jax.lax.top_k(first, K)  # (B, K)
+    # Running (live) beams: beam 0 scores 0, the rest -1e9 so the first
+    # expansion draws every candidate from beam 0's distribution.
+    run_seq = jnp.full((B, K, max_length), size.pad_token_id, jnp.int32)
+    run_seq = run_seq.at[:, :, 0].set(size.decoder_start_token_id)
+    run_scores = jnp.zeros((B, K), jnp.float32).at[:, 1:].set(NEG9)
+    # Finished-hypothesis store: K slots per row, kept sorted (slot 0 best).
+    seq = run_seq
+    scores = jnp.full((B, K), NEG9)
+    finished = jnp.zeros((B, K), bool)
+    # Early-stop heuristic state: rows where the best running beam can
+    # still improve on the worst stored finished hypothesis.
+    unsat = jnp.ones((B,), bool)
+    rank_lt_k = jax.lax.broadcasted_iota(jnp.int32, (B, K2), 1) < K
 
-    tokens = jnp.full((B, K, max_length), size.pad_token_id, jnp.int32)
-    tokens = tokens.at[:, :, 0].set(size.decoder_start_token_id)
-    tokens = tokens.at[:, :, 1].set(top_tok)
-    scores = top_logp  # (B, K) cumulative log-probs of live beams
-    finished = top_tok == size.eos_token_id
-    # Finalized-hypothesis store: best finished score + tokens per batch.
-    # Beams that finish AT the first expansion must seed their tokens too
-    # ([decoder_start, eos, pad...]) — the loop body only writes tokens for
-    # later finishes, so an unseeded store would return all-pad rows for
-    # hypotheses whose stored score wins.
-    best_scores = jnp.where(finished,
-                            scores / (2.0 ** length_penalty),
-                            jnp.full_like(scores, NEG))
-    best_tokens0 = jnp.where(finished[:, :, None], tokens,
-                             jnp.full_like(tokens, size.pad_token_id))
-    scores = jnp.where(finished, NEG, scores)
+    def process(s, logp, run_seq, run_scores, seq, scores, finished, unsat):
+        """One HF beam-search bookkeeping step from this step's log-probs.
 
-    def cond(carry):
-        step = carry[0]
-        scores = carry[2]
-        best_scores = carry[4]
-        # Continue while any live beam could still beat a finished one.
-        upper = jnp.max(scores, axis=1) / (max_length ** length_penalty
-                                           if length_penalty > 0 else 1.0)
-        viable = jnp.max(scores, axis=1) > NEG / 2
-        improvable = jnp.logical_and(
-            viable, upper > jnp.max(best_scores, axis=1))
-        return jnp.logical_and(step < max_length - 1, jnp.any(improvable))
+        ``s``: number of tokens generated before this step; the selected
+        candidate tokens land at sequence index ``s + 1``. Returns the
+        next running beams, their parent indices (for the cache reorder),
+        and the updated finished store / heuristic state.
+        """
+        cand = run_scores[:, :, None] + logp  # (B, K, V)
+        top_s, top_i = jax.lax.top_k(cand.reshape(B, K * V), K2)
+        parent = top_i // V
+        tok = (top_i % V).astype(jnp.int32)
+        cand_seq = jnp.take_along_axis(run_seq, parent[:, :, None], 1)
+        cand_seq = jax.lax.dynamic_update_slice_in_dim(
+            cand_seq, tok[:, :, None], s + 1, axis=2)
+        # Stopping criteria per candidate: eos, or sequence at max_length
+        # (HF folds max-length finalization through the same merge).
+        hits = jnp.logical_or(tok == size.eos_token_id, s + 2 >= max_length)
 
-    def body(carry):
-        step, tokens, scores, cache, best_scores, best_tokens = carry
-        cur = jax.lax.dynamic_slice_in_dim(
-            tokens.reshape(B * K, max_length), step, 1, axis=1)
-        logits, cache = _step(model, params, cache, cur, step, enc, mask,
-                              max_length)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(B, K, V)
-        cand = scores[:, :, None] + logp  # (B, K, V)
-        flat = cand.reshape(B, K * V)
-        # 2K candidates so K live beams survive even if K hit eos.
-        top_s, top_i = jax.lax.top_k(flat, 2 * K)
-        beam_idx = top_i // V
-        tok_idx = top_i % V
-        is_eos = tok_idx == size.eos_token_id
+        # Running beams for the next step: top-K non-finished candidates.
+        run_cand = top_s + hits.astype(jnp.float32) * NEG9
+        new_run_scores, order = jax.lax.top_k(run_cand, K)
+        new_parent = jnp.take_along_axis(parent, order, 1)
+        new_run_seq = jnp.take_along_axis(cand_seq, order[:, :, None], 1)
 
-        # Finished candidates update the best-hypothesis store. Hypothesis
-        # length includes the decoder-start token: step+2 tokens at index
-        # step+1 (HF divides by hyp length ** penalty).
-        fin_score = top_s / ((step + 2.0) ** length_penalty)
-        fin_score = jnp.where(is_eos, fin_score, NEG)
-        cand_best = jnp.max(fin_score, axis=1)
-        cand_arg = jnp.argmax(fin_score, axis=1)
-        improve = cand_best > jnp.max(best_scores, axis=1)
-        sel_beam = jnp.take_along_axis(beam_idx, cand_arg[:, None], 1)[:, 0]
-        new_fin_tokens = jnp.take_along_axis(
-            tokens, sel_beam[:, None, None], 1)[:, 0]  # (B, L)
-        new_fin_tokens = jax.lax.dynamic_update_slice_in_dim(
-            new_fin_tokens,
-            jnp.full((B, 1), size.eos_token_id, jnp.int32), step + 1, axis=1)
-        worst = jnp.argmin(best_scores, axis=1)
-        upd_scores = best_scores.at[jnp.arange(B), worst].set(
-            jnp.where(improve, cand_best, best_scores[jnp.arange(B), worst]))
-        prev_tokens = jnp.take_along_axis(
-            best_tokens, worst[:, None, None], 1)[:, 0]
-        upd_tok = jnp.where(improve[:, None], new_fin_tokens, prev_tokens)
-        best_tokens = best_tokens.at[jnp.arange(B), worst].set(upd_tok)
-        best_scores = upd_scores
+        # Finished store: candidates that hit a stopping criterion AND rank
+        # inside the top num_beams (HF's top_num_beam_mask — lower-ranked
+        # eos candidates are never stored), length-normalized; rows whose
+        # early-stop heuristic is already satisfied stop accepting. Merge
+        # with the stored K and keep the best K (stable top_k keeps stored
+        # entries on exact ties, like torch.topk).
+        gen_len = jnp.float32(s + 1)
+        eligible = jnp.logical_and(hits, rank_lt_k)
+        fin = top_s / gen_len ** length_penalty
+        fin = fin + (~unsat[:, None]).astype(jnp.float32) * NEG9
+        fin = fin + (~eligible).astype(jnp.float32) * NEG9
+        m_scores = jnp.concatenate([scores, fin], axis=1)
+        new_scores, sel = jax.lax.top_k(m_scores, K)
+        m_seq = jnp.concatenate([seq, cand_seq], axis=1)
+        new_seq = jnp.take_along_axis(m_seq, sel[:, :, None], 1)
+        m_fin = jnp.concatenate([finished, eligible], axis=1)
+        new_finished = jnp.take_along_axis(m_fin, sel, 1)
 
-        # Live beams: first K non-eos candidates.
-        live_rank = jnp.where(is_eos, 2 * K + 1,
-                              jax.lax.broadcasted_iota(jnp.int32,
-                                                       (B, 2 * K), 1))
-        order = jnp.argsort(live_rank, axis=1)[:, :K]
-        new_scores = jnp.take_along_axis(top_s, order, 1)
-        new_beam = jnp.take_along_axis(beam_idx, order, 1)
-        new_tok = jnp.take_along_axis(tok_idx, order, 1)
-        dead = jnp.take_along_axis(is_eos, order, 1)
-        new_scores = jnp.where(dead, NEG, new_scores)
+        # Early-stop heuristic (HF early_stopping=False): once every store
+        # slot holds a finished hypothesis and the best running beam
+        # normalized AT THE CURRENT LENGTH cannot beat the worst of them,
+        # the row stops accepting new hypotheses (sticky).
+        best_possible = new_run_scores[:, 0] / gen_len ** length_penalty
+        improvable = jnp.logical_or(
+            ~jnp.all(new_finished, axis=1),
+            best_possible > jnp.min(new_scores, axis=1))
+        new_unsat = jnp.logical_and(unsat, improvable)
+        return (new_run_seq, new_run_scores, new_parent, new_seq,
+                new_scores, new_finished, new_unsat)
 
-        # Reorder beam state (tokens + cache) by parent beam.
-        tokens = jnp.take_along_axis(tokens, new_beam[:, :, None], 1)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, new_tok[:, :, None], step + 1, axis=2)
-        flat_parent = (new_beam
-                       + jnp.arange(B)[:, None] * K).reshape(-1)  # (B*K,)
+    def reorder_cache(cache, parent):
+        flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(-1)
 
         def reorder(x):
             # Scanned cache leaves are (num_layers, B*K, H, L, D): the batch
@@ -209,28 +209,40 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
             if x.ndim >= 2 and x.shape[1] == B * K:
                 return jnp.take(x, flat_parent, axis=1)
             return x
-        cache = jax.tree.map(reorder, cache)
-        return (step + 1, tokens, new_scores, cache, best_scores,
-                best_tokens)
+        return jax.tree.map(reorder, cache)
 
-    init = (jnp.asarray(1, jnp.int32), tokens, scores, cache, best_scores,
-            best_tokens0)
-    (_, tokens, scores, _, best_scores, best_tokens) = jax.lax.while_loop(
-        cond, body, init)
+    # First expansion (s = 0) from the cache-priming logits.
+    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32)).reshape(B, K, V)
+    (run_seq, run_scores, parent0, seq, scores, finished, unsat) = process(
+        0, logp0, run_seq, run_scores, seq, scores, finished, unsat)
+    cache = reorder_cache(cache, parent0)
 
-    # If nothing finished, fall back to the best live beam (length-penalized
-    # at max_length, matching HF's forced finalization).
-    live_best = jnp.max(scores, axis=1) / (max_length ** length_penalty
-                                           if length_penalty > 0 else 1.0)
-    live_arg = jnp.argmax(scores, axis=1)
-    live_tokens = jnp.take_along_axis(tokens, live_arg[:, None, None],
-                                      1)[:, 0]
-    fin_best = jnp.max(best_scores, axis=1)
-    fin_arg = jnp.argmax(best_scores, axis=1)
-    fin_tokens = jnp.take_along_axis(best_tokens, fin_arg[:, None, None],
-                                     1)[:, 0]
-    use_fin = fin_best >= live_best
-    return jnp.where(use_fin[:, None], fin_tokens, live_tokens)
+    def cond(carry):
+        s = carry[0]
+        unsat = carry[7]
+        return jnp.logical_and(s < max_length - 1, jnp.any(unsat))
+
+    def body(carry):
+        s, run_seq, run_scores, cache, seq, scores, finished, unsat = carry
+        cur = jax.lax.dynamic_slice_in_dim(
+            run_seq.reshape(B * K, max_length), s, 1, axis=1)
+        logits, cache = _step(model, params, cache, cur, s, enc, mask,
+                              max_length)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(B, K, V)
+        (run_seq, run_scores, parent, seq, scores, finished,
+         unsat) = process(s, logp, run_seq, run_scores, seq, scores,
+                          finished, unsat)
+        cache = reorder_cache(cache, parent)
+        return (s + 1, run_seq, run_scores, cache, seq, scores, finished,
+                unsat)
+
+    init = (jnp.asarray(1, jnp.int32), run_seq, run_scores, cache, seq,
+            scores, finished, unsat)
+    carry = jax.lax.while_loop(cond, body, init)
+    seq = carry[4]
+    # The store is kept sorted descending: slot 0 is the best hypothesis
+    # (live beams entered it at max_length via the stopping criterion).
+    return seq[:, 0]
 
 
 def generate(model: T5ForConditionalGeneration, params: Any,

@@ -109,6 +109,15 @@ class MultiModalModel(nn.Module):
         img = self.image_model(images, deterministic=True)
         if not cfg.image_model_train:
             img = jax.lax.stop_gradient(img)
+        return self._project_and_concat(img, lang, source_mask)
+
+    def _project_and_concat(self, img: jax.Array, lang: jax.Array,
+                            source_mask: Optional[jax.Array]
+                            ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """Trainable projections + seq-axis concat + concat mask: the shared
+        tail of ``encode_multimodal`` and ``loss_from_image_features`` (the
+        cached-feature path promises bit-identical behavior to __call__, so
+        there is exactly one copy of this logic)."""
         if self.needs_vision_proj:
             img = self.vision_projection(img)
         if self.needs_lang_proj:
@@ -173,17 +182,8 @@ class MultiModalModel(nn.Module):
         else:
             lang = language_features.astype(self.dtype)
         img = image_features.astype(self.dtype)
-        if self.needs_vision_proj:
-            img = self.vision_projection(img)
-        if self.needs_lang_proj:
-            lang = self.language_projection(lang)
-        concat = jnp.concatenate([img, lang], axis=1)
-        concat_mask = None
-        if source_mask is not None:
-            # Row-validity image mask — same rule as encode_multimodal.
-            row_valid = jnp.max(source_mask, axis=1, keepdims=True)
-            img_mask = jnp.broadcast_to(row_valid, img.shape[:2])
-            concat_mask = jnp.concatenate([img_mask, source_mask], axis=1)
+        concat, concat_mask = self._project_and_concat(img, lang,
+                                                       source_mask)
         label_weights = None
         if target_mask is not None:
             label_weights = target_mask.astype(jnp.float32)
@@ -231,6 +231,12 @@ class MultiModalModel(nn.Module):
     def encode_for_generation(self, images: jax.Array, source_ids: jax.Array,
                               source_mask: Optional[jax.Array] = None
                               ) -> tuple[jax.Array, Optional[jax.Array]]:
+        if self.config.reference_pad_quirks:
+            # Same gate as __call__: bit-parity mode attends pads during
+            # generation too (the reference's generate sees no attention
+            # mask, /root/reference/models/model.py:21,28) — and a
+            # quirks-trained model only ever saw pad-attending activations.
+            source_mask = None
         concat, concat_mask = self.encode_multimodal(
             images, source_ids, source_mask, deterministic=True)
         enc = self.transformer.encode(inputs_embeds=concat,

@@ -202,9 +202,13 @@ class T5Attention(nn.Module):
                     cv.value, v.astype(self.dtype), (0, 0, i, 0))
                 idx.value = i + x.shape[1]
                 k, v = ck.value, cv.value
-                # Mask out cache slots that have not been written yet.
+                # Mask out cache slots that have not been written yet —
+                # causal per query row, so a multi-token chunk (the write
+                # and index bump above support one) sees positions
+                # i..i+j for its j-th query, not just i.
                 pos = jnp.arange(max_len)[None, None, None, :]
-                valid = pos <= i
+                q_pos = (i + jnp.arange(x.shape[1]))[None, None, :, None]
+                valid = pos <= q_pos
                 step_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
                 bias = step_bias if bias is None else bias + step_bias
 
@@ -372,6 +376,47 @@ class _ScanBlock(nn.Module):
         return x, aux
 
 
+def _assemble_dense_biases(head_bias, kmask, enc_out, cross_kmask, B, L):
+    """XLA-path logit biases from the decomposed attention inputs: the
+    shared per-head bias broadcast over batch plus the key-mask bias, and
+    the cross-attention key-mask bias (see T5Stack docstring). One copy,
+    shared by T5Stack and the pipelined _StageBlocks — the two paths are
+    asserted bit-identical by tests/test_pipeline_parallel.py."""
+    self_bias = head_bias[None] if head_bias is not None else None
+    mask_bias = _mask_to_bias(kmask, B, L)
+    if mask_bias is not None:
+        self_bias = mask_bias if self_bias is None else self_bias + mask_bias
+    cross_bias = None
+    if enc_out is not None:
+        cross_bias = _mask_to_bias(cross_kmask, B, enc_out.shape[1])
+    return self_bias, cross_bias
+
+
+def _scanned_blocks(size, has_cross_attention, dtype, deterministic, decode,
+                    num_layers, scan_unroll, remat, name,
+                    ring_attention=False, moe_experts=0, moe_top_k=1,
+                    moe_capacity_factor=1.25):
+    """Remat-wrapped ``nn.scan`` over ``_ScanBlock`` — the one place the
+    scan/remat policy is constructed, so a policy change applies to the
+    plain and pipelined stacks alike."""
+    block_cls = _ScanBlock
+    if remat == "full":
+        block_cls = nn.remat(block_cls)
+    elif remat == "dots_saveable":
+        block_cls = nn.remat(
+            block_cls, policy=jax.checkpoint_policies.dots_saveable)
+    return nn.scan(
+        block_cls,
+        variable_axes={"params": 0, "cache": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast,) * 6,
+        length=num_layers,
+        unroll=num_layers if scan_unroll == 0 else scan_unroll,
+    )(size, has_cross_attention, dtype, deterministic, decode,
+      ring_attention, moe_experts, moe_top_k, moe_capacity_factor,
+      name=name)
+
+
 class _StageBlocks(nn.Module):
     """One pipeline stage: a sequential sub-stack of ``layers_per_stage``
     blocks (the same scanned block body as the non-pipelined path).
@@ -392,31 +437,12 @@ class _StageBlocks(nn.Module):
 
     @nn.compact
     def __call__(self, x, head_bias, kmask, enc_out, cross_kmask):
-        self_bias = head_bias[None] if head_bias is not None else None
-        mask_bias = _mask_to_bias(kmask, x.shape[0], x.shape[1])
-        if mask_bias is not None:
-            self_bias = (mask_bias if self_bias is None
-                         else self_bias + mask_bias)
-        cross_bias = None
-        if enc_out is not None:
-            cross_bias = _mask_to_bias(cross_kmask, x.shape[0],
-                                       enc_out.shape[1])
-        block_cls = _ScanBlock
-        if self.remat == "full":
-            block_cls = nn.remat(block_cls)
-        elif self.remat == "dots_saveable":
-            block_cls = nn.remat(
-                block_cls, policy=jax.checkpoint_policies.dots_saveable)
-        blocks = nn.scan(
-            block_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 6,
-            length=self.layers_per_stage,
-            unroll=self.layers_per_stage if self.scan_unroll == 0
-            else self.scan_unroll,
-        )(self.size, self.has_cross_attention, self.dtype,
-          self.deterministic, False, False, name="block")
+        self_bias, cross_bias = _assemble_dense_biases(
+            head_bias, kmask, enc_out, cross_kmask, x.shape[0], x.shape[1])
+        blocks = _scanned_blocks(
+            self.size, self.has_cross_attention, self.dtype,
+            self.deterministic, False, self.layers_per_stage,
+            self.scan_unroll, self.remat, name="block")
         x, _ = blocks(x, self_bias, enc_out, cross_bias, None, None, None)
         return x
 
@@ -664,33 +690,15 @@ class T5Stack(nn.Module):
                 Gx = pick_group(B, L, enc_out.shape[1])
                 cross_pack = (None, cross_kmask, Gx)
         else:
-            if head_bias is not None:
-                self_bias = head_bias[None]
-            mask_bias = _mask_to_bias(kmask, B, L)
-            if mask_bias is not None:
-                self_bias = (mask_bias if self_bias is None
-                             else self_bias + mask_bias)
-            if enc_out is not None:
-                cross_bias = _mask_to_bias(cross_kmask, B,
-                                           enc_out.shape[1])
+            self_bias, cross_bias = _assemble_dense_biases(
+                head_bias, kmask, enc_out, cross_kmask, B, L)
 
-        block_cls = _ScanBlock
-        if self.remat == "full":
-            block_cls = nn.remat(block_cls)
-        elif self.remat == "dots_saveable":
-            block_cls = nn.remat(
-                block_cls, policy=jax.checkpoint_policies.dots_saveable)
-        blocks = nn.scan(
-            block_cls,
-            variable_axes={"params": 0, "cache": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 6,
-            length=self.num_layers,
-            unroll=self.num_layers if self.scan_unroll == 0
-            else self.scan_unroll,
-        )(s, self.is_decoder, self.dtype, deterministic, decode,
-          self.ring_attention, self.moe_experts, self.moe_top_k,
-          self.moe_capacity_factor, name="layers")
+        blocks = _scanned_blocks(
+            s, self.is_decoder, self.dtype, deterministic, decode,
+            self.num_layers, self.scan_unroll, self.remat, name="layers",
+            ring_attention=self.ring_attention,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor)
         # MoE routing mask: the stack's key mask doubles as the
         # token-validity mask (pads route nowhere, ops/moe.py).
         moe_mask = kmask if self.moe_experts > 0 else None
@@ -983,12 +991,16 @@ class T5ForConditionalGeneration(nn.Module):
                     encoder_attention_mask=None) -> jax.Array:
         """One incremental decode step with the KV cache (decode=True).
 
-        ``decoder_input_token`` is (B, 1); returns (B, 1, vocab) logits.
+        ``decoder_input_token`` is (B, T) starting at cache position
+        ``step`` — T = 1 for the generation loop, T > 1 for prompt prefill
+        (the cache's per-query validity mask keeps the chunk causal).
+        Returns (B, T, vocab) logits.
         """
         dec_embeds = self.shared(decoder_input_token)
-        # Bias row for the current step against the full cache length.
+        # Bias rows for the chunk's positions against the full cache length.
         full_bias = self.dec_relpos(max_decode_len, max_decode_len)[0]
-        head_bias = jax.lax.dynamic_slice_in_dim(full_bias, step, 1, axis=1)
+        head_bias = jax.lax.dynamic_slice_in_dim(
+            full_bias, step, decoder_input_token.shape[1], axis=1)
         hidden, _ = self._split_aux(self.decoder(
             dec_embeds, head_bias=head_bias,
             enc_out=encoder_hidden,

@@ -46,6 +46,11 @@ class TokenizerBase:
     eos_id: int = 1
     unk_id: int = 2
     vocab_size: int
+    # How many trailing vocab ids are <extra_id_k> sentinels. Vocabularies
+    # loaded WITHOUT sentinel tokens set this to 0, so decode's
+    # skip_special_tokens never silently drops the 100 highest-id real
+    # tokens of such a vocab.
+    num_sentinels: int = NUM_SENTINELS
 
     # -- core single-sequence ops (implemented by subclasses) --------------
     def encode_ids(self, text: str) -> list[int]:
@@ -56,10 +61,14 @@ class TokenizerBase:
 
     def is_special(self, token_id: int) -> bool:
         return (token_id in (self.pad_id, self.eos_id, self.unk_id)
-                or token_id >= self.vocab_size - NUM_SENTINELS)
+                or token_id >= self.vocab_size - self.num_sentinels)
 
     def sentinel_id(self, k: int) -> int:
         """``<extra_id_k>`` id — T5 convention: vocab_size - 1 - k."""
+        if k >= self.num_sentinels:
+            raise ValueError(
+                f"<extra_id_{k}>: this vocabulary has "
+                f"{self.num_sentinels} sentinel tokens")
         return self.vocab_size - 1 - k
 
     # -- batch interface (mirrors the reference's tokenizer(...) calls) ----
@@ -216,7 +225,11 @@ class UnigramTokenizer(TokenizerBase):
             raise ValueError(f"{path}: vocab missing <pad>/</s>/<unk>")
         self.pad_id, self.eos_id, self.unk_id = pad, eos, unk
         s0 = self._tok.token_to_id("<extra_id_0>")
-        if s0 is not None and s0 != self.vocab_size - 1:
+        if s0 is None:
+            # Sentinel-free vocab (tolerated for caption-only runs): the
+            # top ids are ordinary tokens and must survive decode.
+            self.num_sentinels = 0
+        elif s0 != self.vocab_size - 1:
             raise ValueError(
                 f"{path}: <extra_id_0> must be the last vocab id "
                 f"(T5 convention), got {s0} of {self.vocab_size}")

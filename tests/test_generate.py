@@ -176,6 +176,94 @@ def test_beam_first_step_eos_hypothesis_kept():
     assert (ours[:, L:] == size.pad_token_id).all()
 
 
+def _canon_after_eos(arr, eos_id, pad_id):
+    """Rewrite everything after a row's first eos to pad: HF's beam search
+    fills finished rows with ``pad_token_id or eos_token_id`` — with T5's
+    pad_token_id=0 that ``or`` picks EOS as filler, an HF formatting
+    artifact its output trimming usually hides. Token choice up to and
+    including eos is the semantics under test."""
+    arr = arr.copy()
+    for row in arr:
+        hits = np.where(row[1:] == eos_id)[0]
+        if len(hits):
+            row[hits[0] + 2:] = pad_id
+    return arr
+
+
+@pytest.mark.parametrize("length_penalty", [0.0, 0.5, 2.0])
+def test_beam_search_length_penalty_matches_hf(hf_lm, setup, length_penalty):
+    """Non-unit length penalties exercise the normalization bookkeeping:
+    HF divides by generated_len EXCLUDING the decoder-start token (an
+    off-by-one here reorders which finished hypothesis wins whenever
+    hypotheses of different lengths compete)."""
+    model, params = setup
+    rng = np.random.default_rng(11)
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    max_length = 14
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=4,
+                             do_sample=False, length_penalty=length_penalty,
+                             early_stopping=False).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(beam_search_decode(model, params, enc, None,
+                                         max_length, 4, length_penalty))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(
+        _canon_after_eos(ours[:, :L], TINY.eos_token_id, TINY.pad_token_id),
+        _canon_after_eos(ref, TINY.eos_token_id, TINY.pad_token_id))
+    assert (ours[:, L:] == TINY.pad_token_id).all()
+
+
+@pytest.mark.parametrize("seed,length_penalty",
+                         [(1, 1.0),    # one row finishes mid-sequence
+                          (5, 1.4),    # every row finishes early
+                          (8, 1.0),    # first-step eos hypotheses win
+                          (22, 0.6),   # mixed first-step + mid-sequence
+                          (20, 0.6)])  # finishes under a <1 penalty
+def test_beam_search_eos_heavy_matches_hf(seed, length_penalty):
+    """EOS-prone models exercise the finished-hypothesis machinery on
+    every step: the top-num-beams rank filter (lower-ranked eos candidates
+    must NOT be stored), the running-beam refill from the 2K candidate
+    pool, and the early-stop heuristic that freezes a row's store. The
+    lm_head eos row is scaled so eos lands inside the top-K candidates
+    mid-generation without always winning."""
+    import dataclasses
+
+    size = dataclasses.replace(TINY, tie_word_embeddings=False)
+    torch.manual_seed(100 + seed)
+    cfg = transformers.T5Config(
+        vocab_size=size.vocab_size, d_model=32, d_kv=8, d_ff=64,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        dropout_rate=0.0, decoder_start_token_id=0, pad_token_id=0,
+        eos_token_id=1, tie_word_embeddings=False)
+    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    with torch.no_grad():
+        hf.lm_head.weight[size.eos_token_id] *= 3.0
+    ids = np.random.default_rng(seed).integers(2, size.vocab_size,
+                                               size=(3, 6))
+    max_length = 16
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.tensor(ids),
+                          max_length=max_length, num_beams=4,
+                          do_sample=False, length_penalty=length_penalty,
+                          early_stopping=False).numpy()
+    # the setup only matters if some row actually finishes before the cap
+    assert (ref == size.eos_token_id).any(), "eos boost too weak"
+    model = T5ForConditionalGeneration(size)
+    params = convert_t5_lm(hf.state_dict(), size)
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    ours = np.asarray(beam_search_decode(model, params, enc, None,
+                                         max_length, 4, length_penalty))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(
+        _canon_after_eos(ours[:, :L], size.eos_token_id, size.pad_token_id),
+        _canon_after_eos(ref, size.eos_token_id, size.pad_token_id))
+    assert (ours[:, L:] == size.pad_token_id).all()
+
+
 def test_greedy_handles_padded_encoder_mask(setup, rng):
     """Generation with a padded source: masked encoder positions must not
     influence the output (cross-attention kmask path in the decode loop)."""

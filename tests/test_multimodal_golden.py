@@ -146,3 +146,31 @@ def test_dim_mismatch_is_projected(rng):
     params = model.init(jax.random.PRNGKey(0), images, src, tgt)["params"]
     out = model.apply({"params": params}, images, src, tgt)
     assert np.isfinite(float(out.loss))
+
+
+def test_quirks_generation_attends_pads_like_training(towers, rng):
+    """reference_pad_quirks must gate encode_for_generation the same way it
+    gates __call__: the reference's generate sees no attention mask
+    (/root/reference/models/model.py:21,28), so bit-parity mode must attend
+    pads during generation too — the encoder output with a padded mask must
+    equal the no-mask output, and the returned mask must be None."""
+    cfg = Config(language_model_name="t5-tiny-test",
+                 transformer_model_name="t5-tiny-test",
+                 image_model_name="swin-tiny-test",
+                 reference_pad_quirks=True)
+    model = MultiModalModel(cfg)
+    params = _framework_params(towers, cfg)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    src = np.asarray(rng.integers(2, 128, size=(2, 7)), np.int32)
+    mask = np.ones_like(src)
+    mask[:, 4:] = 0
+    enc_masked, mask_out = model.apply(
+        {"params": params}, images, jnp.asarray(src), jnp.asarray(mask),
+        method=model.encode_for_generation)
+    enc_none, none_out = model.apply(
+        {"params": params}, images, jnp.asarray(src), None,
+        method=model.encode_for_generation)
+    assert mask_out is None and none_out is None
+    np.testing.assert_array_equal(np.asarray(enc_masked),
+                                  np.asarray(enc_none))

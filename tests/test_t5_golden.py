@@ -136,3 +136,47 @@ def test_label_weight_masking(hf_lm, rng):
                            axis=1)),
         label_weights=jnp.asarray((labels != 0).astype(np.float32)))
     np.testing.assert_allclose(float(out.loss), float(ref.loss), rtol=1e-5)
+
+
+def test_decode_step_chunked_prefill_matches_sequential(hf_lm, rng):
+    """decode_step with a (B, T>1) chunk (prompt prefill) must produce the
+    same logits and leave the same cache as T sequential (B, 1) steps —
+    the cache validity mask is causal PER QUERY ROW, so a chunk's j-th
+    query sees cache positions <= step + j only."""
+    import jax
+
+    from klab_multimodalmodel_tpu.checkpoint import convert_t5_lm
+    from klab_multimodalmodel_tpu.models import T5ForConditionalGeneration
+
+    model = T5ForConditionalGeneration(TINY)
+    params = convert_t5_lm(hf_lm.state_dict(), TINY)
+    ids = rng.integers(2, TINY.vocab_size, size=(2, 5))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    prompt = jnp.asarray(rng.integers(2, TINY.vocab_size, size=(2, 4)),
+                         jnp.int32)
+    max_len = 8
+
+    # Sequential: 4 single-token steps.
+    seq_logits = []
+    cache = {}
+    for t in range(prompt.shape[1]):
+        logits, mods = model.apply(
+            {"params": params, **({"cache": cache} if cache else {})},
+            prompt[:, t:t + 1], jnp.asarray(t, jnp.int32), enc, max_len,
+            method=model.decode_step, mutable=["cache"])
+        cache = mods["cache"]
+        seq_logits.append(np.asarray(logits[:, 0]))
+    seq_logits = np.stack(seq_logits, axis=1)
+
+    # Chunked: one 4-token prefill call.
+    chunk_logits, chunk_mods = model.apply(
+        {"params": params}, prompt, jnp.asarray(0, jnp.int32), enc, max_len,
+        method=model.decode_step, mutable=["cache"])
+    np.testing.assert_allclose(np.asarray(chunk_logits), seq_logits,
+                               rtol=2e-5, atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=2e-5, atol=2e-5),
+        chunk_mods["cache"], cache)

@@ -183,3 +183,35 @@ def test_unigram_tokenizer_from_spiece_model(tmp_path):
     # HF T5 normalizer parity: trailing whitespace is right-stripped
     # (Strip(right=True) in SpmConverter) — 'a cat ' == 'a cat'
     assert tok.encode_ids("a cat ") == tok.encode_ids("a cat")
+
+
+def test_sentinel_free_vocab_decodes_top_ids(tmp_path):
+    """A tokenizer.json with NO <extra_id_*> tokens (tolerated for
+    caption-only runs) must not treat its 100 highest vocab ids as
+    sentinels: decode(skip_special_tokens=True) keeps them."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    from klab_multimodalmodel_tpu.text.tokenizer import UnigramTokenizer
+
+    tok = Tokenizer(models.Unigram())
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    tok.decoder = decoders.Metaspace()
+    trainer = trainers.UnigramTrainer(
+        vocab_size=120, special_tokens=["<pad>", "</s>", "<unk>"],
+        unk_token="<unk>")
+    texts = ["a cat sat on a mat", "the dog ran over the log",
+             "a bird flew over the yard"] * 30
+    tok.train_from_iterator(texts, trainer)
+    path = str(tmp_path / "nosentinel.json")
+    tok.save(path)
+
+    t = UnigramTokenizer(path)
+    assert t.num_sentinels == 0
+    # Round-trip a text through ids in the would-be "sentinel zone".
+    high_ids = [i for i in range(max(3, t.vocab_size - 100), t.vocab_size)
+                if i not in (t.pad_id, t.eos_id, t.unk_id)]
+    assert high_ids, "vocab too small for the test"
+    decoded = t.decode(high_ids, skip_special_tokens=True)
+    assert decoded.strip(), "top-100 vocab ids were dropped by decode"
+    with pytest.raises(ValueError):
+        t.sentinel_id(0)
