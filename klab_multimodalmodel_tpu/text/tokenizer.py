@@ -233,6 +233,16 @@ class UnigramTokenizer(TokenizerBase):
             raise ValueError(
                 f"{path}: <extra_id_0> must be the last vocab id "
                 f"(T5 convention), got {s0} of {self.vocab_size}")
+        else:
+            # Measure the actual contiguous sentinel run from the top
+            # (vocabs trained with fewer than the T5-default 100 are
+            # tolerated) so is_special/sentinel_id never cover real ids.
+            n = 1
+            while (n < self.vocab_size
+                   and self._tok.token_to_id(f"<extra_id_{n}>")
+                   == self.vocab_size - 1 - n):
+                n += 1
+            self.num_sentinels = n
 
     def encode_ids(self, text: str) -> list[int]:
         return self._tok.encode(text, add_special_tokens=False).ids

@@ -20,16 +20,34 @@ TINY = T5Size(d_model=32, d_kv=8, d_ff=64, num_layers=2, num_decoder_layers=2,
               relative_attention_max_distance=16, dropout_rate=0.0)
 
 
-@pytest.fixture(scope="module")
-def hf_lm():
-    torch.manual_seed(3)
+@pytest.fixture(autouse=True)
+def _fp32_matmuls():
+    """Token-exact HF differentials are knife-edge sensitive: on backends
+    whose default matmul precision is bf16, ~0.5% logit noise can flip a
+    near-tied beam cut with no product bug. Pin fp32 so these tests compare
+    algorithms, not backend precision defaults."""
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        yield
+
+
+def _tiny_hf(tie_word_embeddings: bool = True, seed: int = 3):
+    """The HF twin of TINY — one copy of the geometry (three tests and the
+    module fixture previously each rebuilt it by hand)."""
+    torch.manual_seed(seed)
     cfg = transformers.T5Config(
         vocab_size=TINY.vocab_size, d_model=32, d_kv=8, d_ff=64, num_layers=2,
         num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
         relative_attention_max_distance=16, dropout_rate=0.0,
         decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
-        tie_word_embeddings=True)
+        tie_word_embeddings=tie_word_embeddings)
     return transformers.T5ForConditionalGeneration(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def hf_lm():
+    return _tiny_hf()
 
 
 @pytest.fixture(scope="module")
@@ -138,14 +156,7 @@ def test_beam_first_step_eos_hypothesis_kept():
     import dataclasses
 
     size = dataclasses.replace(TINY, tie_word_embeddings=False)
-    torch.manual_seed(3)
-    cfg = transformers.T5Config(
-        vocab_size=size.vocab_size, d_model=32, d_kv=8, d_ff=64,
-        num_layers=2, num_decoder_layers=2, num_heads=4,
-        relative_attention_num_buckets=8, relative_attention_max_distance=16,
-        dropout_rate=0.0, decoder_start_token_id=0, pad_token_id=0,
-        eos_token_id=1, tie_word_embeddings=False)
-    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    hf = _tiny_hf(tie_word_embeddings=False)
     ids = np.random.default_rng(7).integers(2, size.vocab_size, size=(2, 6))
     with torch.no_grad():
         probe = hf(input_ids=torch.tensor(ids),
@@ -231,14 +242,7 @@ def test_beam_search_eos_heavy_matches_hf(seed, length_penalty):
     import dataclasses
 
     size = dataclasses.replace(TINY, tie_word_embeddings=False)
-    torch.manual_seed(100 + seed)
-    cfg = transformers.T5Config(
-        vocab_size=size.vocab_size, d_model=32, d_kv=8, d_ff=64,
-        num_layers=2, num_decoder_layers=2, num_heads=4,
-        relative_attention_num_buckets=8, relative_attention_max_distance=16,
-        dropout_rate=0.0, decoder_start_token_id=0, pad_token_id=0,
-        eos_token_id=1, tie_word_embeddings=False)
-    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    hf = _tiny_hf(tie_word_embeddings=False, seed=100 + seed)
     with torch.no_grad():
         hf.lm_head.weight[size.eos_token_id] *= 3.0
     ids = np.random.default_rng(seed).integers(2, size.vocab_size,

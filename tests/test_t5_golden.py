@@ -157,26 +157,39 @@ def test_decode_step_chunked_prefill_matches_sequential(hf_lm, rng):
                          jnp.int32)
     max_len = 8
 
+    # fp32 matmuls: the chunked and sequential programs fuse differently,
+    # so bf16-default backends see ~1e-2 drift with no logic difference.
     # Sequential: 4 single-token steps.
     seq_logits = []
     cache = {}
-    for t in range(prompt.shape[1]):
-        logits, mods = model.apply(
-            {"params": params, **({"cache": cache} if cache else {})},
-            prompt[:, t:t + 1], jnp.asarray(t, jnp.int32), enc, max_len,
-            method=model.decode_step, mutable=["cache"])
-        cache = mods["cache"]
-        seq_logits.append(np.asarray(logits[:, 0]))
+    with jax.default_matmul_precision("float32"):
+        for t in range(prompt.shape[1]):
+            logits, mods = model.apply(
+                {"params": params, **({"cache": cache} if cache else {})},
+                prompt[:, t:t + 1], jnp.asarray(t, jnp.int32), enc, max_len,
+                method=model.decode_step, mutable=["cache"])
+            cache = mods["cache"]
+            seq_logits.append(np.asarray(logits[:, 0]))
     seq_logits = np.stack(seq_logits, axis=1)
 
-    # Chunked: one 4-token prefill call.
-    chunk_logits, chunk_mods = model.apply(
-        {"params": params}, prompt, jnp.asarray(0, jnp.int32), enc, max_len,
-        method=model.decode_step, mutable=["cache"])
-    np.testing.assert_allclose(np.asarray(chunk_logits), seq_logits,
+    # Chunked: a 2-token prefill at step 0 then a 2-token chunk at step 2 —
+    # the second chunk exercises the nonzero cache-index offset in the
+    # per-query validity mask (q_pos = i + arange(T) with i != 0).
+    chunk_logits = []
+    ccache = {}
+    with jax.default_matmul_precision("float32"):
+        for t0 in (0, 2):
+            logits, mods = model.apply(
+                {"params": params, **({"cache": ccache} if ccache else {})},
+                prompt[:, t0:t0 + 2], jnp.asarray(t0, jnp.int32), enc,
+                max_len, method=model.decode_step, mutable=["cache"])
+            ccache = mods["cache"]
+            chunk_logits.append(np.asarray(logits))
+    chunk_logits = np.concatenate(chunk_logits, axis=1)
+    np.testing.assert_allclose(chunk_logits, seq_logits,
                                rtol=2e-5, atol=2e-5)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b),
                                                 rtol=2e-5, atol=2e-5),
-        chunk_mods["cache"], cache)
+        ccache, cache)

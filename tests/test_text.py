@@ -215,3 +215,36 @@ def test_sentinel_free_vocab_decodes_top_ids(tmp_path):
     assert decoded.strip(), "top-100 vocab ids were dropped by decode"
     with pytest.raises(ValueError):
         t.sentinel_id(0)
+
+
+def test_partial_sentinel_vocab_measures_run(tmp_path):
+    """A vocab trained with only 10 <extra_id_*> sentinels must measure
+    num_sentinels=10 from the actual contiguous run — not assume the
+    T5-default 100 and silently drop 90 real top ids from decode."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    from klab_multimodalmodel_tpu.text.tokenizer import UnigramTokenizer
+
+    tok = Tokenizer(models.Unigram())
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    tok.decoder = decoders.Metaspace()
+    trainer = trainers.UnigramTrainer(
+        vocab_size=110, special_tokens=["<pad>", "</s>", "<unk>"],
+        unk_token="<unk>")
+    texts = ["a cat sat on a mat", "the dog ran over the log",
+             "a bird flew over the yard"] * 30
+    tok.train_from_iterator(texts, trainer)
+    tok.add_special_tokens([f"<extra_id_{k}>" for k in reversed(range(10))])
+    path = str(tmp_path / "partial.json")
+    tok.save(path)
+
+    t = UnigramTokenizer(path)
+    assert t.num_sentinels == 10
+    assert t.sentinel_id(0) == t.vocab_size - 1
+    assert t.sentinel_id(9) == t.vocab_size - 10
+    with pytest.raises(ValueError):
+        t.sentinel_id(10)
+    # Ids just below the measured run are ordinary tokens: decode keeps them.
+    keep = [i for i in range(t.vocab_size - 30, t.vocab_size - 10)
+            if i not in (t.pad_id, t.eos_id, t.unk_id)]
+    assert keep and t.decode(keep, skip_special_tokens=True).strip()
