@@ -157,13 +157,26 @@ class SyntheticCaptionDataset(DatasetBase):
         "Two cats sit on a sunny window sill.",
         "A plate of food with rice and vegetables on a table.",
     ]
+    # 'skew' variant: extreme length spread so --bucket_lengths lands rows
+    # in DIFFERENT pow2 buckets — exercises the cross-host bucket-width
+    # consensus (a host whose shard is all-short must still compile the
+    # global width another host's long row forces).
+    _CAPTIONS_SKEW = [
+        "A dog.",
+        "A man with a red helmet on a small moped rides down a long and "
+        "winding dirt road past tall green trees near a mountain village.",
+        "Two cats.",
+        "A large plate of steaming food with fried rice, grilled seasonal "
+        "vegetables and a tall glass of fresh orange juice on a table.",
+    ]
 
     def __init__(self, n: int = 64, image_size: int = 256, seed: int = 0,
-                 pretrain: bool = False):
+                 pretrain: bool = False, skew: bool = False):
         self.n = n
         self.image_size = image_size
         self.seed = seed
         self.pretrain = pretrain
+        self.skew = skew
         # pretrain mode re-corrupts per epoch -> source text is dynamic
         self.source_is_static = not pretrain
         self.epoch = 0
@@ -178,7 +191,8 @@ class SyntheticCaptionDataset(DatasetBase):
         rng = np.random.default_rng(self.seed + idx)
         img = rng.integers(0, 256, size=(self.image_size, self.image_size, 3),
                            dtype=np.uint8)
-        caption = self._CAPTIONS[idx % len(self._CAPTIONS)]
+        captions = self._CAPTIONS_SKEW if self.skew else self._CAPTIONS
+        caption = captions[idx % len(captions)]
         if self.pretrain:
             crng = np.random.default_rng(self.seed + self.epoch * 131 + idx)
             src, tgt = span_corrupt(caption, crng)
@@ -198,5 +212,6 @@ def build_dataset(data_dir: str, phase: str, image_size: int = 256,
         return RedCapsDataset(data_dir, phase, image_size, seed)
     if "synthetic" in low:
         return SyntheticCaptionDataset(image_size=image_size, seed=seed,
-                                       pretrain="pretrain" in low)
+                                       pretrain="pretrain" in low,
+                                       skew="skew" in low)
     raise NotImplementedError(f"no dataset for data_dir={data_dir!r}")

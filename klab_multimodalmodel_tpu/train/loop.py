@@ -210,6 +210,17 @@ def train(config: Config,
 
         sb = pow2_bucket_width(batch["source_mask"], 16)
         tb = pow2_bucket_width(batch["target_mask"], 8)
+        if jax.process_count() > 1:
+            # Each host sees only its own rows of the global batch; the
+            # bucket is a GLOBAL shape decision (every host must assemble
+            # and compile the same (B, width) step), so take the max width
+            # over hosts — same mechanism as the halt consensus above.
+            from jax.experimental import multihost_utils
+
+            widths = multihost_utils.process_allgather(
+                np.array([sb, tb], np.int32))
+            sb = int(np.max(widths[..., 0]))
+            tb = int(np.max(widths[..., 1]))
         out = dict(batch)
         for k, b in (("source_ids", sb), ("source_mask", sb),
                      ("target_ids", tb), ("target_mask", tb)):

@@ -87,7 +87,13 @@ class Trainer:
             raise ValueError(
                 f"global batch {global_batch} not divisible by the mesh's "
                 f"data x fsdp factor {dp} (mesh {dict(self.mesh.shape)})")
-        example = self.example_batch(2)  # tiny batch is enough for shapes
+        # Tiny batch is enough for shapes — but the pipelined stack splits
+        # the batch into M microbatches at trace time, so the example must
+        # be divisible by M (2 alone broke every pipeline config with M > 2).
+        micro = 1
+        if cfg.pipeline_stages > 1:
+            micro = cfg.pipeline_microbatches or cfg.pipeline_stages
+        example = self.example_batch(max(2, micro))
 
         def init_fn(rng):
             variables = self.model.init(

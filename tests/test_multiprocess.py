@@ -302,3 +302,45 @@ def test_multiprocess_moe_expert_axis(tmp_path):
                                        err_msg=k)
         n_expert += "experts_" in k
     assert n_expert >= 4  # the trained model really is the MoE layout
+
+
+@pytest.mark.slow
+def test_multiprocess_bucket_width_consensus(tmp_path):
+    """--bucket_lengths with per-host length SKEW: the bucket is a global
+    shape decision, so a host whose local shard happens to be all-short
+    rows must still trim to the width another host's long row forces
+    (train.loop.bucket_batch all-gathers the widths). The skew dataset's
+    rows span pow2 buckets 8 and 32 by construction; with shuffled 4-row
+    host shards the hosts' LOCAL maxima differ on most batches — without
+    the consensus the two processes assemble different 'global' shapes and
+    the job cannot even complete a step coherently."""
+    import numpy as np
+
+    # Preflight (in-process): the skew captions really span buckets.
+    from klab_multimodalmodel_tpu.data.datasets import build_dataset
+    from klab_multimodalmodel_tpu.text.tokenizer import load_tokenizer
+    from klab_multimodalmodel_tpu.utils.bucketing import pow2_bucket_width
+
+    ds = build_dataset("synthetic-skew", "train", image_size=32)
+    tok = load_tokenizer("")
+    widths = set()
+    for i in range(4):
+        _, _, cap = ds[i]
+        row = np.asarray(tok([cap], max_length=32)["attention_mask"])
+        widths.add(pow2_bucket_width(row, 8))
+    assert len(widths) > 1, f"skew captions collapsed to one bucket {widths}"
+
+    skew2 = run_job(tmp_path, "skew2", 2, 4,
+                    ["--num_epochs", "1", "--bucket_lengths",
+                     "--skew_lengths"])
+    skew1 = run_job(tmp_path, "skew1", 1, 8,
+                    ["--num_epochs", "1", "--bucket_lengths",
+                     "--skew_lengths"])
+    # the two processes of the job agree bitwise; across topologies the
+    # usual reduction-order tolerance applies
+    assert skew2[0]["digests"] == skew2[1]["digests"]
+    assert skew2[0]["steps"] == skew1[0]["steps"] > 0
+    np.testing.assert_allclose(skew2[0]["losses"]["train"],
+                               skew1[0]["losses"]["train"], rtol=1e-5)
+    np.testing.assert_allclose(skew2[0]["losses"]["val"],
+                               skew1[0]["losses"]["val"], rtol=1e-5)

@@ -364,3 +364,32 @@ def test_pipeline_config_validation():
         Config(pipeline_stages=2, seq_attention="ring", **common)
     cfg = Config(mesh_shape=(2, 1, 1, 1, 2), pipeline_stages=2, **common)
     assert cfg.mesh_shape == (2, 1, 1, 1, 2, 1)
+
+
+def test_pipeline_init_with_default_microbatches():
+    """pipeline_stages=4 with pipeline_microbatches left at 0 (-> M = 4):
+    init_state's shape-only example batch must be divisible by M — the old
+    hardcoded 2-row example made every pipeline config with M > 2 fail at
+    init with 'batch=2 not divisible by pipeline_microbatches=4', despite a
+    perfectly valid training batch."""
+    register_t5_size("t5-pipe-micro4", T5Size(
+        d_model=32, d_kv=8, d_ff=64, num_layers=4, num_decoder_layers=4,
+        num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0))
+    cfg = Config(language_model_name="t5-pipe-micro4",
+                 transformer_model_name="t5-pipe-micro4",
+                 image_model_name="swin-pipe-micro",
+                 max_source_length=16, max_target_length=8,
+                 batch_size=1, compute_dtype="float32",
+                 mesh_shape=(2, 1, 1, 1, 4), pipeline_stages=4,
+                 scan_unroll=1, data_dir="synthetic")
+    trainer = Trainer(cfg, make_mesh(cfg.mesh_shape), num_epochs=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), 8)  # raised pre-fix
+
+    ds = SyntheticCaptionDataset(n=8, image_size=32)
+    loader = DataLoader(ds, ByteTokenizer(), global_batch_size=8,
+                        max_source_length=16, max_target_length=8,
+                        shuffle=False, seed=0)
+    db = trainer.device_put_batch(next(iter(loader)))
+    state, loss = trainer.train_step(state, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

@@ -65,6 +65,11 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cache_frozen_features", action="store_true")
     p.add_argument("--bucket_lengths", action="store_true")
+    p.add_argument("--skew_lengths", action="store_true",
+                   help="synthetic captions with extreme length spread so "
+                        "hosts' local shards land in different pow2 "
+                        "buckets — exercises the cross-host bucket-width "
+                        "consensus in train.loop.bucket_batch")
     p.add_argument("--pretrain", action="store_true",
                    help="span-corruption synthetic data instead of captions")
     p.add_argument("--moe_experts", type=int, default=0,
@@ -143,7 +148,10 @@ def main(argv=None):
         language_model_name="t5-micro-mp",
         transformer_model_name="t5-micro-mp",
         image_model_name="swin-micro-mp",
-        max_source_length=16, max_target_length=8,
+        max_source_length=16,
+        # skew mode widens the target cap so short rows bucket to 8 while
+        # long rows force 32 (byte tokenizer: ~1 token/char)
+        max_target_length=32 if args.skew_lengths else 8,
         batch_size=1,  # per chip -> global batch = device_count
         num_epochs=args.num_epochs, save_interval=args.save_interval,
         halt_after_steps=args.halt_after_steps,
@@ -160,7 +168,9 @@ def main(argv=None):
         cache_frozen_features=args.cache_frozen_features,
         bucket_lengths=args.bucket_lengths,
         scan_unroll=1,
-        data_dir="synthetic-pretrain" if args.pretrain else "synthetic",
+        data_dir=("synthetic-pretrain" if args.pretrain
+                  else "synthetic-skew" if args.skew_lengths
+                  else "synthetic"),
         result_dir=args.result_dir)
 
     if args.sigterm_at_tick and args.process_id == args.sigterm_on_process:
