@@ -75,7 +75,10 @@ class Captioner:
     def caption(self, images_uint8: np.ndarray,
                 prompts: Optional[Sequence[str]] = None,
                 max_length: Optional[int] = None,
-                num_beams: Optional[int] = None) -> list[str]:
+                num_beams: Optional[int] = None,
+                do_sample: bool = False, temperature: float = 1.0,
+                top_k: int = 0, top_p: float = 1.0,
+                rng=None) -> list[str]:
         """images (B, H, W, 3) uint8 -> captions."""
         cfg = self.config
         B = images_uint8.shape[0]
@@ -105,6 +108,8 @@ class Captioner:
             self.model.transformer_module(), self.params["transformer"],
             enc_hidden, enc_mask,
             max_length=max_length or cfg.generate_max_length,
-            num_beams=num_beams or cfg.num_beams)
+            num_beams=num_beams or cfg.num_beams,
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            top_p=top_p, rng=rng)
         return self.tokenizer.batch_decode(np.asarray(ids),
                                            skip_special_tokens=True)

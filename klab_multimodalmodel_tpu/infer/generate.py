@@ -1,4 +1,5 @@
-"""Autoregressive generation: greedy and beam search with a KV cache.
+"""Autoregressive generation: greedy, beam search, and sampling with a KV
+cache.
 
 The reference calls HF ``transformer.generate(inputs_embeds=...)`` with the
 default generation config (``/root/reference/models/model.py:28``; SURVEY.md
@@ -245,11 +246,118 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
     return seq[:, 0]
 
 
+def warp_logits(logits: jax.Array, temperature: float = 1.0,
+                top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+    """HF logits-warper chain, applied in HF's fixed order
+    (``GenerationMixin._get_logits_processor``): temperature, then top-k,
+    then top-p. Bit-matches ``TemperatureLogitsWarper`` /
+    ``TopKLogitsWarper`` / ``TopPLogitsWarper`` on fp32 logits, including
+    the boundary conventions:
+
+    - top-k removes tokens strictly below the k-th largest logit
+      (``scores < topk(scores, k)[..., -1]``), so k-way ties at the
+      threshold all survive;
+    - top-p sorts ascending, removes where the inclusive ascending
+      cumulative softmax is ``<= 1 - top_p``, and always keeps the final
+      (largest) slot (``min_tokens_to_keep = 1``).
+
+    Removed positions get ``-inf`` (HF's ``filter_value``). Tied logits
+    resolve per sorted position like HF; for continuous-valued logits the
+    kept set is identical.
+    """
+    logits = logits.astype(jnp.float32)
+    neg_inf = jnp.float32(-jnp.inf)
+    if temperature != 1.0:
+        logits = logits / jnp.float32(temperature)
+    if top_k and top_k > 0:
+        k = min(int(top_k), logits.shape[-1])
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg_inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)           # ascending
+        sorted_idx = jnp.argsort(logits, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove_sorted = cum <= jnp.float32(1.0 - top_p)
+        remove_sorted = remove_sorted.at[..., -1:].set(False)
+        inv = jnp.argsort(sorted_idx, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, neg_inf, logits)
+    return logits
+
+
+@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8))
+def sample_decode(model: T5ForConditionalGeneration, params: Any,
+                  encoder_hidden: jax.Array,
+                  encoder_mask: Optional[jax.Array],
+                  max_length: int, rng: jax.Array,
+                  temperature: float = 1.0, top_k: int = 0,
+                  top_p: float = 1.0) -> jax.Array:
+    """Ancestral sampling (HF ``do_sample=True``): per step the logits run
+    through :func:`warp_logits` and the next token is drawn from the
+    renormalized distribution (``jax.random.categorical`` == HF's
+    softmax + multinomial in distribution; the draws themselves use JAX's
+    threefry stream, not torch's, so sequences are reproducible per ``rng``
+    but not token-identical to torch). Row layout matches
+    :func:`greedy_decode`: ``[decoder_start, t1, ..., eos, pad...]``;
+    finished rows emit pads.
+    """
+    size = model.size
+    B = encoder_hidden.shape[0]
+    start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
+
+    logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
+                                 start, max_length)
+    warped0 = warp_logits(logits0, temperature, top_k, top_p)
+    tok1 = jax.random.categorical(
+        jax.random.fold_in(rng, 0), warped0).astype(jnp.int32)
+
+    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(start[:, 0])
+    tokens = tokens.at[:, 1].set(tok1)
+    finished0 = tok1 == size.eos_token_id
+
+    def cond(carry):
+        step, _, _, finished = carry
+        return jnp.logical_and(step < max_length - 1,
+                               jnp.logical_not(jnp.all(finished)))
+
+    def body(carry):
+        step, tokens, cache, finished = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
+        logits, cache = _step(model, params, cache, cur, step,
+                              encoder_hidden, encoder_mask, max_length)
+        warped = warp_logits(logits, temperature, top_k, top_p)
+        nxt = jax.random.categorical(
+            jax.random.fold_in(rng, step), warped).astype(jnp.int32)
+        nxt = jnp.where(finished, size.pad_token_id, nxt)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], step + 1, axis=1)
+        finished = jnp.logical_or(finished, nxt == size.eos_token_id)
+        return step + 1, tokens, cache, finished
+
+    _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, jnp.int32), tokens, cache, finished0))
+    return tokens
+
+
 def generate(model: T5ForConditionalGeneration, params: Any,
              encoder_hidden: jax.Array, encoder_mask: Optional[jax.Array],
              max_length: int = 20, num_beams: int = 1,
-             length_penalty: float = 1.0) -> jax.Array:
-    """HF-default-compatible entry (greedy when num_beams == 1)."""
+             length_penalty: float = 1.0, do_sample: bool = False,
+             temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+             rng: Optional[jax.Array] = None) -> jax.Array:
+    """HF-default-compatible entry: greedy when ``num_beams == 1`` and
+    ``do_sample=False`` (the reference's path), beam search for
+    ``num_beams > 1``, ancestral sampling for ``do_sample=True`` (HF
+    raises on sampled beam search with a ValueError; we match)."""
+    if do_sample:
+        if num_beams > 1:
+            raise ValueError("beam-search sampling is not supported; use "
+                             "num_beams=1 with do_sample=True")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return sample_decode(model, params, encoder_hidden, encoder_mask,
+                             max_length, rng, temperature, top_k, top_p)
     if num_beams <= 1:
         return greedy_decode(model, params, encoder_hidden, encoder_mask,
                              max_length)

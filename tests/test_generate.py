@@ -4,6 +4,7 @@ path, /root/reference/models/model.py:28 + visualization.ipynb cells 3-8)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from klab_multimodalmodel_tpu.checkpoint import convert_t5_lm
@@ -305,3 +306,130 @@ def test_greedy_early_eos_pads_rest(setup, rng):
         eos_pos = np.where(row == TINY.eos_token_id)[0]
         if len(eos_pos):
             assert (row[eos_pos[0] + 1:] == TINY.pad_token_id).all()
+
+
+# ---------------------------------------------------------------------------
+# Sampling (HF do_sample=True)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("temperature,top_k,top_p",
+                         [(0.7, 0, 1.0),    # temperature only
+                          (1.0, 5, 1.0),    # top-k only
+                          (1.0, 0, 0.9),    # top-p only
+                          (0.8, 7, 0.92),   # full chain
+                          (1.3, 3, 0.5)])   # high temp, tight nucleus
+def test_warp_logits_matches_hf_warpers(temperature, top_k, top_p):
+    """warp_logits must reproduce HF's TemperatureLogitsWarper →
+    TopKLogitsWarper → TopPLogitsWarper chain (the order
+    GenerationMixin._get_logits_processor installs them): identical
+    removed-token sets (-inf) and matching surviving logits."""
+    from transformers.generation.logits_process import (
+        TemperatureLogitsWarper, TopKLogitsWarper, TopPLogitsWarper)
+
+    from klab_multimodalmodel_tpu.infer import warp_logits
+
+    rng = np.random.default_rng(17)
+    logits = rng.normal(size=(4, 64)).astype(np.float32) * 2.0
+
+    ref = torch.tensor(logits)
+    if temperature != 1.0:
+        ref = TemperatureLogitsWarper(temperature)(None, ref)
+    if top_k:
+        ref = TopKLogitsWarper(top_k)(None, ref)
+    if top_p < 1.0:
+        ref = TopPLogitsWarper(top_p)(None, ref)
+    ref = ref.numpy()
+
+    ours = np.asarray(warp_logits(jnp.asarray(logits), temperature, top_k,
+                                  top_p))
+    ref_removed = np.isneginf(ref)
+    np.testing.assert_array_equal(np.isneginf(ours), ref_removed)
+    np.testing.assert_allclose(ours[~ref_removed], ref[~ref_removed],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sample_topk1_equals_greedy(setup, rng):
+    """top_k=1 collapses the sampling distribution to the argmax, so the
+    sampled sequence must equal greedy regardless of the rng."""
+    from klab_multimodalmodel_tpu.infer import sample_decode
+
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    ref = np.asarray(greedy_decode(model, params, enc, None, 12))
+    for seed in (0, 7):
+        ours = np.asarray(sample_decode(
+            model, params, enc, None, 12, jax.random.PRNGKey(seed),
+            1.0, 1, 1.0))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_sample_deterministic_per_key_and_varies(setup, rng):
+    from klab_multimodalmodel_tpu.infer import sample_decode
+
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(4, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    a1 = np.asarray(sample_decode(model, params, enc, None, 14,
+                                  jax.random.PRNGKey(3), 1.0, 0, 1.0))
+    a2 = np.asarray(sample_decode(model, params, enc, None, 14,
+                                  jax.random.PRNGKey(3), 1.0, 0, 1.0))
+    np.testing.assert_array_equal(a1, a2)
+    outs = [np.asarray(sample_decode(model, params, enc, None, 14,
+                                     jax.random.PRNGKey(s), 1.0, 0, 1.0))
+            for s in range(4, 8)]
+    assert any(not np.array_equal(a1, o) for o in outs), \
+        "4 different keys all produced identical samples"
+
+
+def test_sample_tokens_stay_in_warped_support(setup, rng):
+    """Every sampled token must come from the warped support: rescore each
+    sampled prefix with the teacher-forced decoder, re-apply the warp, and
+    require the chosen token's warped logit to be finite."""
+    from klab_multimodalmodel_tpu.infer import sample_decode, warp_logits
+
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    temperature, top_k, top_p = 0.9, 4, 0.8
+    toks = np.asarray(sample_decode(model, params, enc, None, 12,
+                                    jax.random.PRNGKey(11), temperature,
+                                    top_k, top_p))
+    logits = model.apply({"params": params}, jnp.asarray(toks[:, :-1]), enc,
+                         method=model.decode_train)
+    warped = np.asarray(warp_logits(logits, temperature, top_k, top_p))
+    for b in range(toks.shape[0]):
+        for t in range(toks.shape[1] - 1):
+            tok = toks[b, t + 1]
+            if tok == TINY.pad_token_id and toks[b, t] in (
+                    TINY.pad_token_id, TINY.eos_token_id):
+                break  # finished: pads are forced, not sampled
+            assert np.isfinite(warped[b, t, tok]), (b, t, toks[b])
+
+
+def test_sample_early_eos_pads_rest(setup, rng):
+    from klab_multimodalmodel_tpu.infer import sample_decode
+
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(4, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    out = np.asarray(sample_decode(model, params, enc, None, 16,
+                                   jax.random.PRNGKey(5), 1.2, 0, 1.0))
+    assert (out[:, 0] == TINY.decoder_start_token_id).all()
+    for row in out:
+        eos_pos = np.where(row == TINY.eos_token_id)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == TINY.pad_token_id).all()
+
+
+def test_generate_rejects_sampled_beam_search(setup):
+    from klab_multimodalmodel_tpu.infer import generate
+
+    model, params = setup
+    enc = jnp.zeros((1, 4, TINY.d_model))
+    with pytest.raises(ValueError, match="beam-search sampling"):
+        generate(model, params, enc, None, 10, num_beams=2, do_sample=True)
