@@ -85,6 +85,9 @@ def caption_main() -> None:
                         "empty string probes promptless decoding)")
     p.add_argument("--max_length", type=int, default=None)
     p.add_argument("--num_beams", type=int, default=None)
+    p.add_argument("--min_length", type=int, default=0)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
+    p.add_argument("--no_repeat_ngram_size", type=int, default=0)
     args = p.parse_args()
 
     config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
@@ -93,9 +96,11 @@ def caption_main() -> None:
                        for path in args.images])
     prompts = ([args.prompt] * len(args.images)
                if args.prompt is not None else None)
-    captions = captioner.caption(images, prompts=prompts,
-                                 max_length=args.max_length,
-                                 num_beams=args.num_beams)
+    captions = captioner.caption(
+        images, prompts=prompts, max_length=args.max_length,
+        num_beams=args.num_beams, min_length=args.min_length,
+        repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size)
     for path, text in zip(args.images, captions):
         print(f"{path}\t{text}")
 

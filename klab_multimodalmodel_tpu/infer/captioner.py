@@ -78,7 +78,9 @@ class Captioner:
                 num_beams: Optional[int] = None,
                 do_sample: bool = False, temperature: float = 1.0,
                 top_k: int = 0, top_p: float = 1.0,
-                rng=None) -> list[str]:
+                rng=None, min_length: int = 0,
+                repetition_penalty: float = 1.0,
+                no_repeat_ngram_size: int = 0) -> list[str]:
         """images (B, H, W, 3) uint8 -> captions."""
         cfg = self.config
         B = images_uint8.shape[0]
@@ -110,6 +112,8 @@ class Captioner:
             max_length=max_length or cfg.generate_max_length,
             num_beams=num_beams or cfg.num_beams,
             do_sample=do_sample, temperature=temperature, top_k=top_k,
-            top_p=top_p, rng=rng)
+            top_p=top_p, rng=rng, min_length=min_length,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size)
         return self.tokenizer.batch_decode(np.asarray(ids),
                                            skip_special_tokens=True)

@@ -56,23 +56,31 @@ def _step(model, params, cache, token, step, encoder_hidden, encoder_mask,
     return logits[:, -1], mods["cache"]
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def greedy_decode(model: T5ForConditionalGeneration, params: Any,
                   encoder_hidden: jax.Array,
                   encoder_mask: Optional[jax.Array],
-                  max_length: int = 20) -> jax.Array:
+                  max_length: int = 20, min_length: int = 0,
+                  repetition_penalty: float = 1.0,
+                  no_repeat_ngram_size: int = 0) -> jax.Array:
     """Returns (B, max_length) token ids; row layout matches HF ``generate``:
-    ``[decoder_start, t1, t2, ..., eos, pad, pad...]``."""
+    ``[decoder_start, t1, t2, ..., eos, pad, pad...]``.
+
+    Logits processors apply to the raw fp32 logits before the argmax,
+    exactly where HF's ``_sample`` runs ``logits_processor`` (on
+    ``next_token_logits``, not on log-probs)."""
     size = model.size
     B = encoder_hidden.shape[0]
     start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
 
     logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
                                  start, max_length)
-    tok1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
-
     tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(start[:, 0])
+    logits0 = process_logits(logits0, tokens, jnp.asarray(0, jnp.int32),
+                             size.eos_token_id, min_length,
+                             repetition_penalty, no_repeat_ngram_size)
+    tok1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
     tokens = tokens.at[:, 1].set(tok1)
     finished0 = tok1 == size.eos_token_id
 
@@ -86,6 +94,9 @@ def greedy_decode(model: T5ForConditionalGeneration, params: Any,
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
         logits, cache = _step(model, params, cache, cur, step,
                               encoder_hidden, encoder_mask, max_length)
+        logits = process_logits(logits, tokens, step, size.eos_token_id,
+                                min_length, repetition_penalty,
+                                no_repeat_ngram_size)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, size.pad_token_id, nxt)
         tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -98,12 +109,14 @@ def greedy_decode(model: T5ForConditionalGeneration, params: Any,
     return tokens
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
 def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
                        encoder_hidden: jax.Array,
                        encoder_mask: Optional[jax.Array],
                        max_length: int = 20, num_beams: int = 4,
-                       length_penalty: float = 1.0) -> jax.Array:
+                       length_penalty: float = 1.0, min_length: int = 0,
+                       repetition_penalty: float = 1.0,
+                       no_repeat_ngram_size: int = 0) -> jax.Array:
     """HF-exact beam search; returns the best hypothesis, (B, max_length).
 
     Mirrors ``GenerationMixin._beam_search`` step for step (see module
@@ -112,6 +125,10 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
     writes candidate tokens at sequence index ``s + 1`` and normalizes
     finished candidates by ``(s + 1) ** length_penalty`` (HF's
     ``generated_len = cur_len + 1 - decoder_prompt_len``).
+
+    Logits processors apply to the per-beam **log-softmax scores** over the
+    flat running sequences — HF ``_beam_search`` runs ``logits_processor``
+    after ``log_softmax`` (unlike ``_sample``, which processes raw logits).
     """
     size = model.size
     B = encoder_hidden.shape[0]
@@ -212,8 +229,18 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
             return x
         return jax.tree.map(reorder, cache)
 
+    def process_logp(logp_flat, run_seq, s):
+        """HF ``_beam_search``: processors run on (B*K, V) log-probs with
+        the flat running sequences as ``input_ids``."""
+        return process_logits(
+            logp_flat, run_seq.reshape(B * K, max_length), s,
+            size.eos_token_id, min_length, repetition_penalty,
+            no_repeat_ngram_size)
+
     # First expansion (s = 0) from the cache-priming logits.
-    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32)).reshape(B, K, V)
+    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32))
+    logp0 = process_logp(logp0, run_seq, jnp.asarray(0, jnp.int32))
+    logp0 = logp0.reshape(B, K, V)
     (run_seq, run_scores, parent0, seq, scores, finished, unsat) = process(
         0, logp0, run_seq, run_scores, seq, scores, finished, unsat)
     cache = reorder_cache(cache, parent0)
@@ -229,7 +256,8 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
             run_seq.reshape(B * K, max_length), s, 1, axis=1)
         logits, cache = _step(model, params, cache, cur, s, enc, mask,
                               max_length)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        logp = process_logp(logp, run_seq, s).reshape(B, K, V)
         (run_seq, run_scores, parent, seq, scores, finished,
          unsat) = process(s, logp, run_seq, run_scores, seq, scores,
                           finished, unsat)
@@ -244,6 +272,73 @@ def beam_search_decode(model: T5ForConditionalGeneration, params: Any,
     # The store is kept sorted descending: slot 0 is the best hypothesis
     # (live beams entered it at max_length via the stopping criterion).
     return seq[:, 0]
+
+
+def process_logits(logits: jax.Array, tokens: jax.Array, step: jax.Array,
+                   eos_token_id: int, min_length: int = 0,
+                   repetition_penalty: float = 1.0,
+                   no_repeat_ngram_size: int = 0) -> jax.Array:
+    """HF logits-processor chain in HF's fixed order
+    (``GenerationMixin._get_logits_processor``): repetition penalty →
+    no-repeat-ngram → min-length. Processors run BEFORE the sampling
+    warpers, exactly as in HF.
+
+    ``tokens`` is the fixed-shape (B, max_length) decode buffer whose
+    positions ``0..step`` hold the decoder prefix (HF's ``input_ids``,
+    ``cur_len = step + 1``); later positions hold pad filler. Semantics
+    bit-match HF on fp32 scores:
+
+    - ``RepetitionPenaltyLogitsProcessor``: every token id present in the
+      prefix has its score divided by the penalty if positive, multiplied
+      if negative. Filler positions are substituted with the row's
+      position-0 token (the decoder start), which is always in the prefix,
+      so the penalized id set equals HF's exactly.
+    - ``NoRepeatNGramLogitsProcessor``: a candidate is banned if the
+      prefix's trailing ``n-1``-gram followed by that candidate occurs as
+      an n-gram anywhere in the prefix.
+    - ``MinLengthLogitsProcessor``: eos is masked to ``-inf`` while
+      ``cur_len < min_length`` (length counts the decoder start, like HF).
+    """
+    logits = logits.astype(jnp.float32)
+    neg_inf = jnp.float32(-jnp.inf)
+    B, L = tokens.shape
+    V = logits.shape[-1]
+
+    if repetition_penalty != 1.0:
+        valid = jnp.arange(L)[None, :] <= step           # (1, L)
+        seen = jnp.where(valid, tokens, tokens[:, :1])   # filler -> start tok
+        present = jax.vmap(
+            lambda t: jnp.zeros((V,), jnp.bool_).at[t].set(True))(seen)
+        penalized = jnp.where(logits < 0,
+                              logits * jnp.float32(repetition_penalty),
+                              logits / jnp.float32(repetition_penalty))
+        logits = jnp.where(present, penalized, logits)
+
+    if no_repeat_ngram_size and no_repeat_ngram_size > 1:
+        n = int(no_repeat_ngram_size)
+        # Window starts t cover every n-gram fully inside the prefix:
+        # t + n - 1 <= step. The candidate completes the trailing
+        # (n-1)-gram at positions step-n+2 .. step.
+        win_idx = jnp.arange(L)[:, None] + jnp.arange(n - 1)[None, :]
+        win_idx = jnp.clip(win_idx, 0, L - 1)
+        windows = tokens[:, win_idx]                     # (B, L, n-1)
+        suf_pos = jnp.clip(step - (n - 2) + jnp.arange(n - 1), 0, L - 1)
+        suffix = jnp.take_along_axis(
+            tokens, jnp.broadcast_to(suf_pos[None, :], (B, n - 1)), axis=1)
+        match = jnp.all(windows == suffix[:, None, :], axis=-1)  # (B, L)
+        valid_t = (jnp.arange(L) + n - 1) <= step
+        hit = jnp.logical_and(match, valid_t[None, :])
+        banned_tok = tokens[:, jnp.clip(jnp.arange(L) + n - 1, 0, L - 1)]
+        ban = jax.vmap(lambda bt, m: jnp.zeros(
+            (V,), jnp.bool_).at[bt].max(m))(banned_tok, hit)
+        logits = jnp.where(ban, neg_inf, logits)
+
+    if min_length and min_length > 0:
+        mask_eos = (step + 1) < min_length
+        eos_col = jnp.arange(V)[None, :] == eos_token_id
+        logits = jnp.where(jnp.logical_and(mask_eos, eos_col), neg_inf,
+                           logits)
+    return logits
 
 
 def warp_logits(logits: jax.Array, temperature: float = 1.0,
@@ -285,13 +380,15 @@ def warp_logits(logits: jax.Array, temperature: float = 1.0,
     return logits
 
 
-@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8, 9, 10, 11))
 def sample_decode(model: T5ForConditionalGeneration, params: Any,
                   encoder_hidden: jax.Array,
                   encoder_mask: Optional[jax.Array],
                   max_length: int, rng: jax.Array,
                   temperature: float = 1.0, top_k: int = 0,
-                  top_p: float = 1.0) -> jax.Array:
+                  top_p: float = 1.0, min_length: int = 0,
+                  repetition_penalty: float = 1.0,
+                  no_repeat_ngram_size: int = 0) -> jax.Array:
     """Ancestral sampling (HF ``do_sample=True``): per step the logits run
     through :func:`warp_logits` and the next token is drawn from the
     renormalized distribution (``jax.random.categorical`` == HF's
@@ -307,12 +404,14 @@ def sample_decode(model: T5ForConditionalGeneration, params: Any,
 
     logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
                                  start, max_length)
+    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(start[:, 0])
+    logits0 = process_logits(logits0, tokens, jnp.asarray(0, jnp.int32),
+                             size.eos_token_id, min_length,
+                             repetition_penalty, no_repeat_ngram_size)
     warped0 = warp_logits(logits0, temperature, top_k, top_p)
     tok1 = jax.random.categorical(
         jax.random.fold_in(rng, 0), warped0).astype(jnp.int32)
-
-    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
-    tokens = tokens.at[:, 0].set(start[:, 0])
     tokens = tokens.at[:, 1].set(tok1)
     finished0 = tok1 == size.eos_token_id
 
@@ -326,6 +425,9 @@ def sample_decode(model: T5ForConditionalGeneration, params: Any,
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
         logits, cache = _step(model, params, cache, cur, step,
                               encoder_hidden, encoder_mask, max_length)
+        logits = process_logits(logits, tokens, step, size.eos_token_id,
+                                min_length, repetition_penalty,
+                                no_repeat_ngram_size)
         warped = warp_logits(logits, temperature, top_k, top_p)
         nxt = jax.random.categorical(
             jax.random.fold_in(rng, step), warped).astype(jnp.int32)
@@ -345,11 +447,18 @@ def generate(model: T5ForConditionalGeneration, params: Any,
              max_length: int = 20, num_beams: int = 1,
              length_penalty: float = 1.0, do_sample: bool = False,
              temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
-             rng: Optional[jax.Array] = None) -> jax.Array:
+             rng: Optional[jax.Array] = None, min_length: int = 0,
+             repetition_penalty: float = 1.0,
+             no_repeat_ngram_size: int = 0) -> jax.Array:
     """HF-default-compatible entry: greedy when ``num_beams == 1`` and
     ``do_sample=False`` (the reference's path), beam search for
     ``num_beams > 1``, ancestral sampling for ``do_sample=True`` (HF
-    raises on sampled beam search with a ValueError; we match)."""
+    raises on sampled beam search with a ValueError; we match).
+
+    ``min_length`` / ``repetition_penalty`` / ``no_repeat_ngram_size``
+    reproduce HF's logits-processor chain in HF's order and placement
+    (raw logits for greedy/sampling, log-probs for beam search); see
+    :func:`process_logits`."""
     if do_sample:
         if num_beams > 1:
             raise ValueError("beam-search sampling is not supported; use "
@@ -357,9 +466,14 @@ def generate(model: T5ForConditionalGeneration, params: Any,
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return sample_decode(model, params, encoder_hidden, encoder_mask,
-                             max_length, rng, temperature, top_k, top_p)
+                             max_length, rng, temperature, top_k, top_p,
+                             min_length, repetition_penalty,
+                             no_repeat_ngram_size)
     if num_beams <= 1:
         return greedy_decode(model, params, encoder_hidden, encoder_mask,
-                             max_length)
+                             max_length, min_length, repetition_penalty,
+                             no_repeat_ngram_size)
     return beam_search_decode(model, params, encoder_hidden, encoder_mask,
-                              max_length, num_beams, length_penalty)
+                              max_length, num_beams, length_penalty,
+                              min_length, repetition_penalty,
+                              no_repeat_ngram_size)

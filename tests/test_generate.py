@@ -433,3 +433,117 @@ def test_generate_rejects_sampled_beam_search(setup):
     enc = jnp.zeros((1, 4, TINY.d_model))
     with pytest.raises(ValueError, match="beam-search sampling"):
         generate(model, params, enc, None, 10, num_beams=2, do_sample=True)
+
+
+@pytest.mark.parametrize("min_length,rep_pen,ngram", [
+    (6, 1.0, 0), (0, 1.7, 0), (0, 0.6, 0), (0, 1.0, 2), (0, 1.0, 3),
+    (5, 1.3, 2),
+])
+def test_process_logits_matches_hf_processors(rng, min_length, rep_pen,
+                                              ngram):
+    """Bit-exact differential of :func:`process_logits` vs HF's processor
+    classes on random fp32 scores and random prefixes, across prefix
+    lengths (incl. too-short-for-ngram edges)."""
+    from transformers.generation.logits_process import (
+        LogitsProcessorList, MinLengthLogitsProcessor,
+        NoRepeatNGramLogitsProcessor, RepetitionPenaltyLogitsProcessor)
+
+    from klab_multimodalmodel_tpu.infer.generate import process_logits
+
+    eos = 1
+    chain = LogitsProcessorList()
+    if rep_pen != 1.0:
+        chain.append(RepetitionPenaltyLogitsProcessor(rep_pen))
+    if ngram:
+        chain.append(NoRepeatNGramLogitsProcessor(ngram))
+    if min_length:
+        chain.append(MinLengthLogitsProcessor(min_length, eos))
+
+    B, V, L = 4, 17, 12
+    for cur_len in (1, 2, 3, 7, L):
+        step = cur_len - 1
+        # Prefix with deliberate repeats so ngram bans actually fire.
+        prefix = rng.integers(0, 5, size=(B, cur_len)).astype(np.int64)
+        prefix[:, 0] = 0  # decoder start
+        scores = rng.standard_normal((B, V)).astype(np.float32)
+        ref = chain(torch.tensor(prefix), torch.tensor(scores)).numpy()
+
+        buf = np.full((B, L), 0, np.int32)
+        buf[:, :cur_len] = prefix
+        ours = np.asarray(process_logits(
+            jnp.asarray(scores), jnp.asarray(buf),
+            jnp.asarray(step, jnp.int32), eos, min_length, rep_pen, ngram))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"cur_len={cur_len}")
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(min_length=8), dict(repetition_penalty=1.8),
+    dict(no_repeat_ngram_size=2),
+    dict(min_length=6, repetition_penalty=1.4, no_repeat_ngram_size=2),
+])
+def test_greedy_processors_match_hf(hf_lm, setup, rng, kwargs):
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(3, 6))
+    max_length = 14
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=1,
+                             do_sample=False, **kwargs).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(greedy_decode(
+        model, params, enc, None, max_length,
+        kwargs.get("min_length", 0), kwargs.get("repetition_penalty", 1.0),
+        kwargs.get("no_repeat_ngram_size", 0)))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
+    assert (ours[:, L:] == TINY.pad_token_id).all()
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(min_length=7), dict(repetition_penalty=1.5),
+    dict(no_repeat_ngram_size=2),
+    dict(min_length=5, no_repeat_ngram_size=2),
+])
+def test_beam_processors_match_hf(hf_lm, setup, rng, kwargs):
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(2, 6))
+    max_length = 12
+    with torch.no_grad():
+        ref = hf_lm.generate(input_ids=torch.tensor(ids),
+                             max_length=max_length, num_beams=3,
+                             do_sample=False, length_penalty=1.0,
+                             early_stopping=False, **kwargs).numpy()
+    enc = _encode_both(hf_lm, model, params, ids)
+    ours = np.asarray(beam_search_decode(
+        model, params, enc, None, max_length, 3, 1.0,
+        kwargs.get("min_length", 0), kwargs.get("repetition_penalty", 1.0),
+        kwargs.get("no_repeat_ngram_size", 0)))
+    L = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :L], ref)
+
+
+def test_sample_processors_respected(setup, rng):
+    """Sampled tokens must obey the processor constraints: no eos before
+    min_length, and no repeated bigram anywhere in the output."""
+    from klab_multimodalmodel_tpu.infer import sample_decode
+
+    model, params = setup
+    ids = rng.integers(2, TINY.vocab_size, size=(4, 6))
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      method=model.encode)
+    min_length, ngram = 8, 2
+    toks = np.asarray(sample_decode(model, params, enc, None, 16,
+                                    jax.random.PRNGKey(7), 1.0, 0, 1.0,
+                                    min_length, 1.0, ngram))
+    for row in toks:
+        eos_pos = np.where(row == TINY.eos_token_id)[0]
+        if len(eos_pos):
+            assert eos_pos[0] + 1 >= min_length, row
+            gen = row[:eos_pos[0] + 1]
+        else:
+            gen = row
+        bigrams = set()
+        for t in range(len(gen) - 1):
+            bg = (gen[t], gen[t + 1])
+            assert bg not in bigrams, (row, bg)
+            bigrams.add(bg)
