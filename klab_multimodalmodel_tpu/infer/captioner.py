@@ -37,7 +37,8 @@ class Captioner:
     """
 
     def __init__(self, config: Config, params: Any,
-                 tokenizer: TokenizerBase, bucket_source: bool = True):
+                 tokenizer: TokenizerBase, bucket_source: bool = True,
+                 decode_int8: bool = False):
         if config.pipeline_stages > 1:
             # Incremental decode is a sequential KV-cache loop — nothing to
             # pipeline. Fold the stage axis back into the scanned-layer
@@ -71,6 +72,15 @@ class Captioner:
         self.tokenizer = tokenizer
         self.bucket_source = bucket_source
         self.model = MultiModalModel(config)
+        # ``decode_int8``: serving-time weight-only quantization of the
+        # sequential decode loop (infer/quantize.py). The encoder prefill
+        # (one batched forward) keeps full-precision params; only the
+        # per-step HBM weight stream shrinks.
+        self._decode_params = params["transformer"]
+        if decode_int8:
+            from .quantize import quantize_for_decode
+
+            self._decode_params = quantize_for_decode(params["transformer"])
 
     def caption(self, images_uint8: np.ndarray,
                 prompts: Optional[Sequence[str]] = None,
@@ -107,7 +117,7 @@ class Captioner:
             jnp.asarray(src_ids), jnp.asarray(src_mask),
             method=self.model.encode_for_generation)
         ids = generate(
-            self.model.transformer_module(), self.params["transformer"],
+            self.model.transformer_module(), self._decode_params,
             enc_hidden, enc_mask,
             max_length=max_length or cfg.generate_max_length,
             num_beams=num_beams or cfg.num_beams,

@@ -33,7 +33,16 @@ import jax
 import jax.numpy as jnp
 
 from ..models.t5 import T5ForConditionalGeneration
+from .quantize import QuantizedParams
 
+
+def _variables(params: Any) -> dict:
+    """Apply collections for a decode call: plain params, or the int8
+    weight-only pair (``infer/quantize.py``) unpacked into the ``qscale``
+    collection KlabDense / the tied head read."""
+    if isinstance(params, QuantizedParams):
+        return {"params": params.params, "qscale": params.qscale}
+    return {"params": params}
 
 
 def _init_cache(model: T5ForConditionalGeneration, params: Any,
@@ -41,7 +50,7 @@ def _init_cache(model: T5ForConditionalGeneration, params: Any,
                 max_length: int):
     """Prime the cache with the first decode step (writes position 0)."""
     logits, mods = model.apply(
-        {"params": params}, start_tokens, jnp.asarray(0, jnp.int32),
+        _variables(params), start_tokens, jnp.asarray(0, jnp.int32),
         encoder_hidden, max_length, encoder_mask,
         method=model.decode_step, mutable=["cache"])
     return logits[:, -1], mods["cache"]
@@ -50,7 +59,7 @@ def _init_cache(model: T5ForConditionalGeneration, params: Any,
 def _step(model, params, cache, token, step, encoder_hidden, encoder_mask,
           max_length):
     logits, mods = model.apply(
-        {"params": params, "cache": cache}, token, step, encoder_hidden,
+        dict(_variables(params), cache=cache), token, step, encoder_hidden,
         max_length, encoder_mask, method=model.decode_step,
         mutable=["cache"])
     return logits[:, -1], mods["cache"]

@@ -98,6 +98,42 @@ class T5RelativePositionBias(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+
+class KlabDense(nn.Module):
+    """Bias-free dense layer with optional int8 weight-only dequant.
+
+    Identical to ``nn.Dense(use_bias=False)`` in the ordinary case (same
+    param name/shape/init, same dtype promotion, same contraction). When a
+    ``qscale`` collection is bound (``infer/quantize.py``), the stored
+    kernel is the int8 grid ``Q`` and the bound per-output-channel scale
+    multiplies the OUTPUT — exact because every T5 matmul is bias-free:
+    ``x @ (Q * s) == (x @ Q) * s``. The scale multiply runs in fp32 and
+    casts back, so the quantized path matches a dequantized-fp32 apply to
+    float rounding.
+    """
+
+    features: int
+    dtype: Dtype = None
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (jnp.shape(x)[-1], self.features), jnp.float32)
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        if self.has_variable("qscale", "scale"):
+            s = self.get_variable("qscale", "scale")
+            y = (y.astype(jnp.float32) * s.astype(jnp.float32)).astype(
+                y.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
 # Attention
 # ---------------------------------------------------------------------------
 
@@ -122,15 +158,15 @@ class T5Attention(nn.Module):
                  decode: bool = False) -> jax.Array:
         s = self.size
         inner = s.num_heads * s.d_kv
-        dense = lambda name, init_std: nn.Dense(  # noqa: E731
-            inner, use_bias=False, dtype=self.dtype, name=name,
+        dense = lambda name, init_std: KlabDense(  # noqa: E731
+            inner, dtype=self.dtype, name=name,
             kernel_init=nn.initializers.normal(init_std))
         # Init stds follow the T5 fan-in scheme (mesh-tf init, as in HF).
         q_proj = dense("q", (s.d_model * s.d_kv) ** -0.5)
         k_proj = dense("k", s.d_model ** -0.5)
         v_proj = dense("v", s.d_model ** -0.5)
-        o_proj = nn.Dense(s.d_model, use_bias=False, dtype=self.dtype, name="o",
-                          kernel_init=nn.initializers.normal(inner ** -0.5))
+        o_proj = KlabDense(s.d_model, dtype=self.dtype, name="o",
+                           kernel_init=nn.initializers.normal(inner ** -0.5))
 
         def split_heads(t):
             return t.reshape(t.shape[:-1] + (s.num_heads, s.d_kv)).transpose(
@@ -231,12 +267,12 @@ class T5Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         s = self.size
-        x = nn.Dense(s.d_ff, use_bias=False, dtype=self.dtype, name="wi",
-                     kernel_init=nn.initializers.normal(s.d_model ** -0.5))(x)
+        x = KlabDense(s.d_ff, dtype=self.dtype, name="wi",
+                      kernel_init=nn.initializers.normal(s.d_model ** -0.5))(x)
         x = nn.relu(x)
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
-        x = nn.Dense(s.d_model, use_bias=False, dtype=self.dtype, name="wo",
-                     kernel_init=nn.initializers.normal(s.d_ff ** -0.5))(x)
+        x = KlabDense(s.d_model, dtype=self.dtype, name="wo",
+                      kernel_init=nn.initializers.normal(s.d_ff ** -0.5))(x)
         return x
 
 
@@ -407,7 +443,9 @@ def _scanned_blocks(size, has_cross_attention, dtype, deterministic, decode,
             block_cls, policy=jax.checkpoint_policies.dots_saveable)
     return nn.scan(
         block_cls,
-        variable_axes={"params": 0, "cache": 0},
+        # qscale: int8 dequant scales (infer/quantize.py) ride the same
+        # leading layer axis as the scanned params they mirror.
+        variable_axes={"params": 0, "cache": 0, "qscale": 0},
         split_rngs={"params": True, "dropout": True},
         in_axes=(nn.broadcast,) * 6,
         length=num_layers,
@@ -929,8 +967,8 @@ class T5ForConditionalGeneration(nn.Module):
                                moe_capacity_factor=self.moe_capacity_factor,
                                name="decoder")
         if not s.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                s.vocab_size, use_bias=False, dtype=self.dtype,
+            self.lm_head = KlabDense(
+                s.vocab_size, dtype=self.dtype,
                 kernel_init=nn.initializers.normal(s.d_model ** -0.5),
                 name="lm_head")
 
@@ -960,6 +998,18 @@ class T5ForConditionalGeneration(nn.Module):
         s = self.size
         if s.tie_word_embeddings:
             hidden = hidden * (s.d_model ** -0.5)
+            if self.has_variable("qscale", "head_q"):
+                # Int8 weight-only tied head (infer/quantize.py): the
+                # (vocab, d) embedding's single largest-per-step HBM
+                # stream reads as int8; the per-vocab-row scale rides on
+                # the (B, T, vocab) logits in fp32.
+                q = self.get_variable("qscale", "head_q")
+                sc = self.get_variable("qscale", "head_scale")
+                logits = jax.lax.dot_general(
+                    hidden.astype(self.dtype), q.astype(self.dtype),
+                    (((hidden.ndim - 1,), (1,)), ((), ())))
+                return (logits.astype(jnp.float32)
+                        * sc.astype(jnp.float32)).astype(logits.dtype)
             return self.shared.attend(hidden)
         return self.lm_head(hidden)
 

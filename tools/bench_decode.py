@@ -38,9 +38,13 @@ def main() -> None:
     #     streaming — inference-only, frozen-tower-safe);
     #   KLAB_DECODE_FUSED=1 runs encode+decode as ONE jit program (one
     #     host->device dispatch per caption instead of two).
+    #   KLAB_DECODE_INT8=1 int8 weight-only decode (infer/quantize.py):
+    #     dense kernels + tied head stored int8, rest bf16 — the decode
+    #     loop's params; the encode prefill keeps the bf16/fp32 params.
     unroll = int(os.environ.get("KLAB_DECODE_UNROLL", "1"))
     bf16_params = os.environ.get("KLAB_DECODE_BF16", "0") == "1"
     fused = os.environ.get("KLAB_DECODE_FUSED", "0") == "1"
+    int8 = os.environ.get("KLAB_DECODE_INT8", "0") == "1"
     cfg = Config(language_model_name="t5-base",
                  transformer_model_name="t5-base",
                  max_source_length=64, compute_dtype="bfloat16",
@@ -59,6 +63,13 @@ def main() -> None:
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
+    dec_params = params["transformer"]
+    if int8:
+        from klab_multimodalmodel_tpu.infer.quantize import \
+            quantize_for_decode
+
+        dec_params = quantize_for_decode(dec_params)
+
     t5 = model.transformer_module()
 
     @jax.jit
@@ -69,27 +80,27 @@ def main() -> None:
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(4,))
-    def caption_fused(params, img, src, mask, num_beams):
+    @partial(jax.jit, static_argnums=(5,))
+    def caption_fused(params, dparams, img, src, mask, num_beams):
         enc, enc_mask = model.apply(
             {"params": params}, normalize_images(img, dtype=jnp.bfloat16),
             src, mask, method=model.encode_for_generation)
         if num_beams == 1:
-            return greedy_decode(t5, params["transformer"], enc, enc_mask,
+            return greedy_decode(t5, dparams, enc, enc_mask,
                                  cfg.generate_max_length)
-        return beam_search_decode(t5, params["transformer"], enc, enc_mask,
+        return beam_search_decode(t5, dparams, enc, enc_mask,
                                   cfg.generate_max_length, num_beams, 1.0)
 
     def caption_once(num_beams: int):
         if fused:
-            return np.asarray(caption_fused(params, img, src, mask,
-                                            num_beams))
+            return np.asarray(caption_fused(params, dec_params, img, src,
+                                            mask, num_beams))
         enc, enc_mask = encode(params, img, src, mask)
         if num_beams == 1:
-            ids = greedy_decode(t5, params["transformer"], enc, enc_mask,
+            ids = greedy_decode(t5, dec_params, enc, enc_mask,
                                 cfg.generate_max_length)
         else:
-            ids = beam_search_decode(t5, params["transformer"], enc,
+            ids = beam_search_decode(t5, dec_params, enc,
                                      enc_mask, cfg.generate_max_length,
                                      num_beams, 1.0)
         return np.asarray(ids)  # host read = sync
@@ -116,7 +127,7 @@ def main() -> None:
 
     def caption_bucketed():
         enc, enc_mask = encode(params, img, bsrc16, bmask16)
-        return np.asarray(greedy_decode(t5, params["transformer"], enc,
+        return np.asarray(greedy_decode(t5, dec_params, enc,
                                         enc_mask, cfg.generate_max_length))
 
     caption_bucketed()  # compile
@@ -146,7 +157,7 @@ def main() -> None:
             def caption_batch():
                 enc, enc_mask = encode(params, bimg, bsrc, bmask)
                 return np.asarray(greedy_decode(
-                    t5, params["transformer"], enc, enc_mask,
+                    t5, dec_params, enc, enc_mask,
                     cfg.generate_max_length))
 
             caption_batch()  # compile
