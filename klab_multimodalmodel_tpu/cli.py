@@ -105,5 +105,50 @@ def caption_main() -> None:
         print(f"{path}\t{text}")
 
 
+def serve_main() -> None:
+    import argparse
+
+    from .serve.http import CaptionHTTPServer
+    from .serve.service import CaptionService
+
+    p = argparse.ArgumentParser(
+        description="Serve a trained run over HTTP with dynamic batching "
+                    "(POST /caption, GET /healthz, GET /stats)")
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="largest coalesced batch; requests pad to "
+                        "power-of-two buckets up to this")
+    p.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="how long the first queued request waits for "
+                        "companions before its batch dispatches")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip pre-compiling the batch buckets (first "
+                        "requests then pay XLA compiles)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decode (infer/quantize.py): "
+                        "~4x less HBM weight traffic per decode step")
+    args = p.parse_args()
+
+    config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
+    service = CaptionService(config, params, tokenizer,
+                             max_batch=args.max_batch,
+                             window_ms=args.batch_window_ms,
+                             decode_int8=args.int8)
+    server = CaptionHTTPServer(service, host=args.host, port=args.port)
+    print(f"klab-serve: listening on {args.host}:{server.port} "
+          f"(warming {'0' if args.no_warmup else args.max_batch} buckets)")
+    server.start(warmup=not args.no_warmup)
+    print("klab-serve: ready")
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        server.stop()
+
+
 if __name__ == "__main__":
     main()

@@ -38,11 +38,23 @@ def load_image_resized(path: str, size: int = 256) -> np.ndarray:
     (native/klab_host.cpp) does the exact bicubic resize; Pillow fallback
     otherwise. Semantics match the reference's PIL resize (loader.py:15).
     """
+    return _decode_resized(path, size)
+
+
+def load_image_bytes_resized(data: bytes, size: int = 256) -> np.ndarray:
+    """``load_image_resized`` over in-memory encoded bytes (the serving
+    path: request bodies never touch disk). Identical decode semantics."""
+    import io
+
+    return _decode_resized(io.BytesIO(data), size)
+
+
+def _decode_resized(src, size: int) -> np.ndarray:
     from PIL import Image
 
     from .. import native
 
-    with Image.open(path) as im:
+    with Image.open(src) as im:
         # draft only applies to JPEG; no-op otherwise. Never draft below the
         # target size (would lose resolution before the proper resample).
         im.draft("RGB", (size, size))

@@ -1,0 +1,176 @@
+"""Dynamic request batching for online inference.
+
+Model-agnostic: the batcher owns a queue and ONE dispatcher thread that
+drains it into batches and calls a user ``run_batch(key, payloads)``
+callable. Requests carry a *group key* (generation parameters); only
+requests with equal keys share a batch, since they must share the compiled
+decode program (beam width, sampling chain, max length are all trace-time
+constants in ``infer/generate.py``).
+
+Design notes (TPU-first):
+  * a single dispatcher thread serializes device work — JAX dispatch from
+    many HTTP threads would interleave unrelated programs and destroy the
+    batching win;
+  * the batching window starts at the FIRST queued request of a batch, so
+    an idle service adds at most ``window_ms`` latency and a loaded service
+    fills batches without waiting;
+  * a request whose key differs from the batch being collected is held
+    back (one-slot peek buffer) and seeds the next batch — no reordering
+    within a key, no starvation across keys.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Hashable, Optional, Sequence
+
+
+@dataclass
+class BatchStats:
+    """Counters for the /stats endpoint. All mutation under the batcher
+    lock; ``snapshot()`` returns plain floats safe to serialize."""
+
+    requests: int = 0
+    batches: int = 0
+    rows: int = 0  # sum of real (unpadded) batch occupancy
+    errors: int = 0
+    latencies_ms: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=1024))
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        pct = (lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+               if lat else 0.0)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "errors": self.errors,
+            "mean_batch_occupancy": (self.rows / self.batches
+                                     if self.batches else 0.0),
+            "p50_latency_ms": pct(0.50),
+            "p90_latency_ms": pct(0.90),
+        }
+
+
+class _Pending:
+    __slots__ = ("key", "payload", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, key: Hashable, payload: Any):
+        self.key = key
+        self.payload = payload
+        self.event = threading.Event()
+        self.result: Any = None
+        self.error: Optional[BaseException] = None
+        self.t_enqueue = time.perf_counter()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent ``submit()`` calls into ``run_batch`` calls.
+
+    ``run_batch(key, payloads) -> results`` must return one result per
+    payload, in order. Exceptions fail every request in that batch (the
+    callers get the exception re-raised) and the batcher keeps serving.
+    """
+
+    def __init__(self, run_batch: Callable[[Hashable, Sequence[Any]], Sequence[Any]],
+                 max_batch: int = 8, window_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._run_batch = run_batch
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.stats = BatchStats()
+        self._lock = threading.Lock()
+        self._not_empty = threading.Condition(self._lock)
+        self._queue: collections.deque[_Pending] = collections.deque()
+        self._held: Optional[_Pending] = None  # different-key peek slot
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name="klab-serve-dispatch",
+                                        daemon=True)
+        self._thread.start()
+
+    # -- producer side -----------------------------------------------------
+    def submit(self, key: Hashable, payload: Any,
+               timeout: Optional[float] = None) -> Any:
+        """Enqueue one request and block until its batch completes."""
+        item = _Pending(key, payload)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self.stats.requests += 1
+            self._queue.append(item)
+            self._not_empty.notify()
+        if not item.event.wait(timeout):
+            raise TimeoutError("request timed out waiting for a batch slot")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._not_empty.notify()
+        self._thread.join(timeout=10)
+
+    # -- dispatcher side ----------------------------------------------------
+    def _take_first(self) -> Optional[_Pending]:
+        """Block for the request that opens the next batch."""
+        with self._lock:
+            if self._held is not None:
+                item, self._held = self._held, None
+                return item
+            while not self._queue and not self._closed:
+                self._not_empty.wait()
+            return self._queue.popleft() if self._queue else None
+
+    def _fill(self, batch: list[_Pending], deadline: float) -> None:
+        """Collect same-key requests until the window closes or the batch
+        is full. A different-key arrival is parked in ``_held`` and ends
+        the batch (it will open the next one immediately)."""
+        key = batch[0].key
+        while len(batch) < self.max_batch:
+            with self._lock:
+                while not self._queue:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0 or self._closed:
+                        return
+                    self._not_empty.wait(remaining)
+                if self._queue[0].key != key:
+                    self._held = self._queue.popleft()
+                    return
+                batch.append(self._queue.popleft())
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            first = self._take_first()
+            if first is None:
+                return  # closed and drained
+            batch = [first]
+            self._fill(batch, first.t_enqueue + self.window_s)
+            try:
+                results = self._run_batch(first.key,
+                                          [b.payload for b in batch])
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(batch)} payloads")
+                for item, res in zip(batch, results):
+                    item.result = res
+            except BaseException as e:  # noqa: BLE001 — fail the batch, keep serving
+                with self._lock:
+                    self.stats.errors += len(batch)
+                for item in batch:
+                    item.error = e
+            done = time.perf_counter()
+            with self._lock:
+                self.stats.batches += 1
+                self.stats.rows += len(batch)
+                for item in batch:
+                    self.stats.latencies_ms.append(
+                        (done - item.t_enqueue) * 1000.0)
+            for item in batch:
+                item.event.set()
