@@ -130,16 +130,23 @@ def serve_main() -> None:
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decode (infer/quantize.py): "
                         "~4x less HBM weight traffic per decode step")
+    p.add_argument("--max_gen_length", type=int, default=128,
+                   help="upper bound on per-request max_length (KV-cache "
+                        "size / compile-time guard)")
     args = p.parse_args()
+
+    from .serve.service import batch_buckets
 
     config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
     service = CaptionService(config, params, tokenizer,
                              max_batch=args.max_batch,
                              window_ms=args.batch_window_ms,
-                             decode_int8=args.int8)
+                             decode_int8=args.int8,
+                             max_gen_length=args.max_gen_length)
     server = CaptionHTTPServer(service, host=args.host, port=args.port)
+    n_buckets = 0 if args.no_warmup else len(batch_buckets(args.max_batch))
     print(f"klab-serve: listening on {args.host}:{server.port} "
-          f"(warming {'0' if args.no_warmup else args.max_batch} buckets)")
+          f"(warming {n_buckets} buckets)")
     server.start(warmup=not args.no_warmup)
     print("klab-serve: ready")
     try:

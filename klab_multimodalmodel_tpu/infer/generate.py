@@ -378,13 +378,17 @@ def warp_logits(logits: jax.Array, temperature: float = 1.0,
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, neg_inf, logits)
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)           # ascending
-        sorted_idx = jnp.argsort(logits, axis=-1)
+        # ONE O(V log V) sort per step: gather the ascending values through
+        # the argsort permutation and scatter the removal mask back through
+        # it (put_along_axis), instead of sort + argsort + inverse-argsort.
+        sorted_idx = jnp.argsort(logits, axis=-1)           # ascending
+        sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
         cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
         remove_sorted = cum <= jnp.float32(1.0 - top_p)
         remove_sorted = remove_sorted.at[..., -1:].set(False)
-        inv = jnp.argsort(sorted_idx, axis=-1)
-        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        remove = jnp.put_along_axis(
+            jnp.zeros_like(remove_sorted), sorted_idx, remove_sorted,
+            axis=-1, inplace=False)
         logits = jnp.where(remove, neg_inf, logits)
     return logits
 

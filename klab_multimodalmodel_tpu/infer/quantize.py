@@ -118,10 +118,17 @@ def quantize_for_decode(transformer_params: Any,
     remaining fp32 leaf (embedding lookup copy, norms, relpos tables)
     cast to ``cast_dtype``. Returns the :class:`QuantizedParams` pytree
     the decode entry points accept in place of raw params."""
+    import jax
+    import jax.numpy as _jnp
+
     params_q, qscale = quantize_transformer_int8(transformer_params)
     if cast_dtype is not None:
         params_q = cast_for_decode(params_q, cast_dtype)
-    return QuantizedParams(params=params_q, qscale=qscale)
+    # quantize_transformer_int8 computes on host (numpy); committing the
+    # tree to device HERE is load-bearing — numpy leaves passed to a jitted
+    # decode would otherwise re-upload the full int8 tree (~130 MB at
+    # t5-base: every kernel + the (vocab, d) head_q) on EVERY call.
+    return jax.tree.map(_jnp.asarray, QuantizedParams(params_q, qscale))
 
 
 def dequantize_kernel(q: np.ndarray, scale: np.ndarray) -> np.ndarray:

@@ -30,17 +30,25 @@ from typing import Any, Callable, Hashable, Optional, Sequence
 
 @dataclass
 class BatchStats:
-    """Counters for the /stats endpoint. All mutation under the batcher
-    lock; ``snapshot()`` returns plain floats safe to serialize."""
+    """Counters for the /stats endpoint. All mutation happens under
+    ``lock`` (the batcher shares its own lock in), and ``snapshot()``
+    takes it too — the latency deque is mutated by the dispatcher thread,
+    so an unlocked ``sorted()`` over it can raise mid-iteration."""
 
     requests: int = 0
     batches: int = 0
     rows: int = 0  # sum of real (unpadded) batch occupancy
     errors: int = 0
+    abandoned: int = 0  # timed-out submits cancelled before device work
     latencies_ms: collections.deque = field(
         default_factory=lambda: collections.deque(maxlen=1024))
+    lock: threading.Lock = field(default_factory=threading.Lock)
 
     def snapshot(self) -> dict:
+        with self.lock:
+            return self._snapshot_locked()
+
+    def _snapshot_locked(self) -> dict:
         lat = sorted(self.latencies_ms)
         pct = (lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
                if lat else 0.0)
@@ -48,6 +56,7 @@ class BatchStats:
             "requests": self.requests,
             "batches": self.batches,
             "errors": self.errors,
+            "abandoned": self.abandoned,
             "mean_batch_occupancy": (self.rows / self.batches
                                      if self.batches else 0.0),
             "p50_latency_ms": pct(0.50),
@@ -56,7 +65,8 @@ class BatchStats:
 
 
 class _Pending:
-    __slots__ = ("key", "payload", "event", "result", "error", "t_enqueue")
+    __slots__ = ("key", "payload", "event", "result", "error", "t_enqueue",
+                 "abandoned")
 
     def __init__(self, key: Hashable, payload: Any):
         self.key = key
@@ -65,6 +75,7 @@ class _Pending:
         self.result: Any = None
         self.error: Optional[BaseException] = None
         self.t_enqueue = time.perf_counter()
+        self.abandoned = False  # set (under the batcher lock) on timeout
 
 
 class DynamicBatcher:
@@ -82,8 +93,10 @@ class DynamicBatcher:
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
-        self.stats = BatchStats()
         self._lock = threading.Lock()
+        # One lock for queue AND stats: snapshot() serializes against the
+        # dispatcher's counter/deque mutation.
+        self.stats = BatchStats(lock=self._lock)
         self._not_empty = threading.Condition(self._lock)
         self._queue: collections.deque[_Pending] = collections.deque()
         self._held: Optional[_Pending] = None  # different-key peek slot
@@ -105,6 +118,12 @@ class DynamicBatcher:
             self._queue.append(item)
             self._not_empty.notify()
         if not item.event.wait(timeout):
+            # Cancel rather than orphan: if the item is still queued (or
+            # collected but not yet dispatched) the dispatcher drops it, so
+            # timed-out clients don't keep consuming device decodes —
+            # otherwise a 504 storm would hold the TPU at 100% on dead work.
+            with self._lock:
+                item.abandoned = True
             raise TimeoutError("request timed out waiting for a batch slot")
         if item.error is not None:
             raise item.error
@@ -120,12 +139,19 @@ class DynamicBatcher:
     def _take_first(self) -> Optional[_Pending]:
         """Block for the request that opens the next batch."""
         with self._lock:
-            if self._held is not None:
-                item, self._held = self._held, None
+            while True:
+                if self._held is not None:
+                    item, self._held = self._held, None
+                else:
+                    while not self._queue and not self._closed:
+                        self._not_empty.wait()
+                    if not self._queue:
+                        return None
+                    item = self._queue.popleft()
+                if item.abandoned:
+                    self.stats.abandoned += 1
+                    continue
                 return item
-            while not self._queue and not self._closed:
-                self._not_empty.wait()
-            return self._queue.popleft() if self._queue else None
 
     def _fill(self, batch: list[_Pending], deadline: float) -> None:
         """Collect same-key requests until the window closes or the batch
@@ -142,7 +168,11 @@ class DynamicBatcher:
                 if self._queue[0].key != key:
                     self._held = self._queue.popleft()
                     return
-                batch.append(self._queue.popleft())
+                item = self._queue.popleft()
+                if item.abandoned:
+                    self.stats.abandoned += 1
+                    continue
+                batch.append(item)
 
     def _dispatch_loop(self) -> None:
         while True:
@@ -151,6 +181,14 @@ class DynamicBatcher:
                 return  # closed and drained
             batch = [first]
             self._fill(batch, first.t_enqueue + self.window_s)
+            with self._lock:
+                # Last look before paying for device work: drop anything
+                # whose submitter timed out while the batch was collecting.
+                alive = [b for b in batch if not b.abandoned]
+                self.stats.abandoned += len(batch) - len(alive)
+            batch = alive
+            if not batch:
+                continue
             try:
                 results = self._run_batch(first.key,
                                           [b.payload for b in batch])

@@ -24,7 +24,11 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from .service import CaptionService, GenParams
+from .service import CaptionService, GenParams, normalize_gen_params
+
+# Request bodies are one base64 image + a few scalars; anything bigger is
+# abuse (the body is read fully into memory before decode).
+MAX_BODY_BYTES = 32 * 1024 * 1024
 
 _GEN_FIELDS = {
     "max_length": int, "num_beams": int, "do_sample": bool,
@@ -75,6 +79,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):  # noqa: N802
+        # Read (or refuse) the body BEFORE any early return: this handler
+        # speaks HTTP/1.1 keep-alive, and an unread body would be parsed as
+        # the connection's next request line, corrupting every subsequent
+        # request from that client.
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = -1
+        if length < 0 or length > MAX_BODY_BYTES:
+            self.close_connection = True  # can't cheaply drain; drop conn
+            self._send(413, {"error": f"Content-Length must be in "
+                                      f"[0, {MAX_BODY_BYTES}]"})
+            return
+        raw = self.rfile.read(length)
         if self.path != "/caption":
             self._send(404, {"error": f"no route {self.path}"})
             return
@@ -82,10 +100,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(503, {"error": "warming up"})
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length))
+            body = json.loads(raw)
             image = base64.b64decode(body["image_b64"], validate=True)
             gen = _gen_params(body, self.service.default_params)
+            gen = normalize_gen_params(gen, self.service.max_gen_length)
         except (KeyError, ValueError, TypeError, binascii.Error,
                 json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})

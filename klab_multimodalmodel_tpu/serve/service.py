@@ -11,6 +11,7 @@ of the default group before the server reports healthy.
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
@@ -45,12 +46,65 @@ class GenParams:
     no_repeat_ngram_size: int = 0
 
 
+def normalize_gen_params(gen: GenParams, max_gen_length: int) -> GenParams:
+    """Validate client generation params and canonicalize no-op fields.
+
+    Every GenParams field is a trace-time constant (a fresh value = a fresh
+    XLA compile + a fresh KV-cache shape), so unvalidated client input lets
+    one request stall the single dispatcher on an unbounded compile or
+    allocate an arbitrary cache — hence hard bounds, rejected with
+    ``ValueError`` (HTTP 400). Fields the selected decode path never reads
+    (sampling warpers under greedy/beam; ``num_beams`` is rejected with
+    sampling, as HF does) reset to their defaults so cosmetically different
+    requests share a batch group + compiled program.
+    """
+    if not 1 <= gen.max_length <= max_gen_length:
+        raise ValueError(f"max_length must be in [1, {max_gen_length}], "
+                         f"got {gen.max_length}")
+    if not 1 <= gen.num_beams <= 16:
+        raise ValueError(f"num_beams must be in [1, 16], got {gen.num_beams}")
+    if gen.do_sample and gen.num_beams > 1:
+        raise ValueError("beam-search sampling is not supported; use "
+                         "num_beams=1 with do_sample=true")
+    if not 0 <= gen.min_length <= gen.max_length:
+        raise ValueError(f"min_length must be in [0, max_length], "
+                         f"got {gen.min_length}")
+    if gen.repetition_penalty <= 0:
+        raise ValueError("repetition_penalty must be > 0")
+    if gen.no_repeat_ngram_size < 0:
+        raise ValueError("no_repeat_ngram_size must be >= 0")
+    if gen.do_sample:
+        if gen.temperature <= 0:
+            raise ValueError("temperature must be > 0")
+        if not 0 < gen.top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        if gen.top_k < 0:
+            raise ValueError("top_k must be >= 0")
+        return gen
+    if (gen.temperature, gen.top_k, gen.top_p) != (1.0, 0, 1.0):
+        gen = dataclasses.replace(gen, temperature=1.0, top_k=0, top_p=1.0)
+    return gen
+
+
 def pow2_batch(n: int, cap: int) -> int:
-    """Smallest power of two >= n, capped (the batch-shape bucket)."""
+    """Smallest power of two >= n, capped at ``cap`` (the batch-shape
+    bucket). For a non-power-of-two cap the top bucket is ``cap`` itself,
+    so batches never exceed the operator's ``--max_batch``."""
     b = 1
     while b < n and b < cap:
         b *= 2
-    return b
+    return min(b, cap)
+
+
+def batch_buckets(cap: int) -> list[int]:
+    """The full bucket set ``pow2_batch`` can return: powers of two below
+    ``cap`` plus ``cap`` (warmup compiles exactly these)."""
+    out, b = [], 1
+    while b < cap:
+        out.append(b)
+        b *= 2
+    out.append(cap)
+    return out
 
 
 class CaptionService:
@@ -64,12 +118,16 @@ class CaptionService:
 
     def __init__(self, config: Config, params: Any,
                  tokenizer: TokenizerBase, max_batch: int = 8,
-                 window_ms: float = 5.0, decode_int8: bool = False):
+                 window_ms: float = 5.0, decode_int8: bool = False,
+                 max_gen_length: int = 128):
         self.config = config
         self.tokenizer = tokenizer
         self.captioner = Captioner(config, params, tokenizer,
                                    decode_int8=decode_int8)
         self.max_batch = max_batch
+        # Upper bound on client max_length (KV-cache size + compile guard);
+        # never below the configured default so default requests pass.
+        self.max_gen_length = max(max_gen_length, config.generate_max_length)
         self._sample_lock = threading.Lock()
         self._sample_calls = 0
         self._batcher = DynamicBatcher(self._run_batch, max_batch=max_batch,
@@ -87,10 +145,11 @@ class CaptionService:
                       prompt: Optional[str] = None,
                       gen: Optional[GenParams] = None,
                       timeout: Optional[float] = 120.0) -> str:
+        gen = normalize_gen_params(gen or self.default_params,
+                                   self.max_gen_length)
         image = load_image_bytes_resized(image_bytes,
                                          self.config.swin.image_size)
-        return self._batcher.submit(gen or self.default_params,
-                                    (image, prompt or COCO_PROMPT),
+        return self._batcher.submit(gen, (image, prompt or COCO_PROMPT),
                                     timeout=timeout)
 
     def close(self) -> None:
@@ -132,14 +191,11 @@ class CaptionService:
         warmed (for the log)."""
         size = self.config.swin.image_size
         dummy = np.zeros((size, size, 3), np.uint8)
-        buckets, b = [], 1
-        while True:
+        buckets = batch_buckets(self.max_batch)
+        for b in buckets:
             # Direct call (not via submit): runs before the server accepts
             # traffic, hits bucket b deterministically, and keeps warmup
             # out of the serving stats.
             self._run_batch(self.default_params,
                             [(dummy, COCO_PROMPT)] * b)
-            buckets.append(b)
-            if b >= self.max_batch:
-                return buckets
-            b *= 2
+        return buckets

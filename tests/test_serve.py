@@ -340,3 +340,155 @@ def test_http_healthz_503_before_ready(micro_service):
     finally:
         server.httpd.shutdown()
         server.httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Review hardening (r3): cap clamping, param validation, cancellation,
+# keep-alive correctness
+# ---------------------------------------------------------------------------
+
+def test_pow2_batch_never_exceeds_non_pow2_cap():
+    """--max_batch need not be a power of two; the top bucket is the cap
+    itself, never the next power of two above it."""
+    from klab_multimodalmodel_tpu.serve.service import batch_buckets
+
+    assert pow2_batch(5, 6) == 6
+    assert pow2_batch(6, 6) == 6
+    assert pow2_batch(3, 6) == 4
+    assert batch_buckets(6) == [1, 2, 4, 6]
+    assert batch_buckets(8) == [1, 2, 4, 8]
+    assert batch_buckets(1) == [1]
+
+
+def test_batcher_timed_out_request_is_cancelled_not_executed():
+    """A submit() that times out while queued must never reach run_batch:
+    timed-out clients must not keep consuming device work."""
+    release = threading.Event()
+    seen = []
+
+    def run(key, payloads):
+        seen.extend(payloads)
+        release.wait(30)  # hold the dispatcher so the next item queues
+        return ["r"] * len(payloads)
+
+    b = DynamicBatcher(run, max_batch=1, window_ms=1.0)
+    try:
+        t = threading.Thread(target=lambda: b.submit("k", "first",
+                                                     timeout=30))
+        t.start()
+        while not seen:  # dispatcher is now inside run_batch("first")
+            time.sleep(0.005)
+        with pytest.raises(TimeoutError):
+            b.submit("k", "doomed", timeout=0.05)
+        release.set()
+        t.join(timeout=30)
+        # A later request flushes the queue past the abandoned item.
+        assert b.submit("k", "after", timeout=30) == "r"
+        assert "doomed" not in seen
+        assert b.stats.snapshot()["abandoned"] == 1
+    finally:
+        release.set()
+        b.close()
+
+
+def test_normalize_gen_params_bounds_and_coalescing():
+    from klab_multimodalmodel_tpu.serve.service import (GenParams,
+                                                        normalize_gen_params)
+
+    base = GenParams(max_length=8, num_beams=1)
+    # Greedy requests with cosmetically different (unused) sampling fields
+    # normalize to ONE group key, so they share a batch + compiled program.
+    noisy = GenParams(max_length=8, num_beams=1, temperature=0.5, top_k=7,
+                      top_p=0.3)
+    assert normalize_gen_params(noisy, 16) == normalize_gen_params(base, 16)
+    # Sampling keeps its warper fields.
+    samp = GenParams(max_length=8, num_beams=1, do_sample=True,
+                     temperature=0.5)
+    assert normalize_gen_params(samp, 16).temperature == 0.5
+    for bad in (
+            GenParams(max_length=0, num_beams=1),
+            GenParams(max_length=999, num_beams=1),
+            GenParams(max_length=8, num_beams=0),
+            GenParams(max_length=8, num_beams=64),
+            GenParams(max_length=8, num_beams=4, do_sample=True),
+            GenParams(max_length=8, num_beams=1, min_length=9),
+            GenParams(max_length=8, num_beams=1, repetition_penalty=0.0),
+            GenParams(max_length=8, num_beams=1, do_sample=True,
+                      temperature=0.0),
+            GenParams(max_length=8, num_beams=1, do_sample=True, top_p=0.0),
+            GenParams(max_length=8, num_beams=1, do_sample=True, top_k=-1),
+    ):
+        with pytest.raises(ValueError):
+            normalize_gen_params(bad, 16)
+
+
+def test_http_keep_alive_survives_error_responses(micro_service, rng):
+    """HTTP/1.1 keep-alive: an errored POST (404 route / 400 body / 503)
+    must drain the request body, so the SAME connection serves the next
+    request correctly."""
+    import http.client
+
+    from klab_multimodalmodel_tpu.serve.http import CaptionHTTPServer
+
+    server = CaptionHTTPServer(micro_service, host="127.0.0.1", port=0)
+    try:
+        server.start(warmup=False)
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=60)
+        png = _png_bytes(rng)
+        good = json.dumps(
+            {"image_b64": base64.b64encode(png).decode()}).encode()
+
+        # 404 with a body on a persistent connection...
+        conn.request("POST", "/captions", body=good,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # ...must not corrupt the next request on the same socket.
+        conn.request("POST", "/caption", body=good,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert isinstance(json.loads(r.read())["caption"], str)
+
+        # Same after a 400 (bad params).
+        bad = json.dumps({"image_b64": base64.b64encode(png).decode(),
+                          "max_length": 100000}).encode()
+        conn.request("POST", "/caption", body=bad,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert b"max_length" in r.read()
+        conn.request("POST", "/caption", body=good,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
+        conn.close()
+    finally:
+        server.httpd.shutdown()
+        server.httpd.server_close()
+
+
+def test_http_oversized_body_is_refused(micro_service):
+    import http.client
+
+    from klab_multimodalmodel_tpu.serve.http import CaptionHTTPServer
+
+    server = CaptionHTTPServer(micro_service, host="127.0.0.1", port=0)
+    try:
+        server.start(warmup=False)
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        # Claim a huge body; the server must answer 413 without reading it.
+        conn.putrequest("POST", "/caption")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 31))
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 413
+        conn.close()
+    finally:
+        server.httpd.shutdown()
+        server.httpd.server_close()

@@ -100,6 +100,8 @@ def main() -> None:
     ap.add_argument("--http", action="store_true",
                     help="drive through the loopback HTTP server instead "
                          "of the in-process service")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only decode (infer/quantize.py)")
     args = ap.parse_args()
 
     import jax
@@ -125,11 +127,12 @@ def main() -> None:
         jax.random.PRNGKey(0), normalize_images(img, dtype=jnp.bfloat16),
         src, jnp.zeros((1, 4), jnp.int32),
         source_mask=jnp.ones((1, 64), jnp.int32))["params"]
-    tokenizer = ByteTokenizer(vocab_size=cfg.t5.vocab_size)
+    tokenizer = ByteTokenizer(vocab_size=cfg.transformer_t5.vocab_size)
 
     service = CaptionService(cfg, params, tokenizer,
                              max_batch=args.max_batch,
-                             window_ms=args.window_ms)
+                             window_ms=args.window_ms,
+                             decode_int8=args.int8)
     print(f"warmup (buckets 1..{args.max_batch}, "
           f"max_length={args.max_length})...", file=sys.stderr)
     t0 = time.perf_counter()
