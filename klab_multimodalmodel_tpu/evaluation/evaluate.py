@@ -50,6 +50,11 @@ def evaluate_captions(config: Config, params, tokenizer: TokenizerBase,
         paths = paths[:limit]
         references = references[:limit]
     predictions: list[str] = []
+    # Software pipeline: the val-set bottleneck is host JPEG decode
+    # (~2.5x the device time per batch at batch 32, BASELINE.md), so
+    # launch batch N on the device and decode batch N+1's JPEGs while it
+    # runs; caption_finish only blocks when the next batch is ready.
+    pending: Optional[tuple] = None
     for i in range(0, len(paths), batch_size):
         chunk = paths[i:i + batch_size]
         # static shapes: pad the ragged tail by repeating the last image
@@ -58,9 +63,14 @@ def evaluate_captions(config: Config, params, tokenizer: TokenizerBase,
                          for p in chunk] + [np.zeros(
                              (config.swin.image_size,) * 2 + (3,), np.uint8)
                          ] * pad)
-        caps = captioner.caption(imgs, [COCO_PROMPT] * batch_size,
-                                 num_beams=num_beams)
-        predictions.extend(caps[:len(chunk)])
+        ids = captioner.caption_launch(imgs, [COCO_PROMPT] * batch_size,
+                                       num_beams=num_beams)
+        if pending is not None:
+            predictions.extend(
+                captioner.caption_finish(pending[0])[:pending[1]])
+        pending = (ids, len(chunk))
+    if pending is not None:
+        predictions.extend(captioner.caption_finish(pending[0])[:pending[1]])
     return {
         "num_images": len(paths),
         "CIDEr-D": cider_d(predictions, list(references)),

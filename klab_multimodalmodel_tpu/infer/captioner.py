@@ -101,6 +101,26 @@ class Captioner:
                 repetition_penalty: float = 1.0,
                 no_repeat_ngram_size: int = 0) -> list[str]:
         """images (B, H, W, 3) uint8 -> captions."""
+        return self.caption_finish(self.caption_launch(
+            images_uint8, prompts, max_length=max_length,
+            num_beams=num_beams, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng,
+            min_length=min_length, repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size))
+
+    def caption_launch(self, images_uint8: np.ndarray,
+                       prompts: Optional[Sequence[str]] = None,
+                       max_length: Optional[int] = None,
+                       num_beams: Optional[int] = None,
+                       do_sample: bool = False, temperature: float = 1.0,
+                       top_k: int = 0, top_p: float = 1.0,
+                       rng=None, min_length: int = 0,
+                       repetition_penalty: float = 1.0,
+                       no_repeat_ngram_size: int = 0) -> jax.Array:
+        """Enqueue the device work (encode prefill + decode loop) and
+        return the token-id device array WITHOUT blocking on it — JAX
+        dispatch is asynchronous, so a serving pipeline can launch batch
+        N+1 while this batch computes. ``caption_finish`` blocks."""
         cfg = self.config
         B = images_uint8.shape[0]
         prompts = list(prompts) if prompts is not None else [COCO_PROMPT] * B
@@ -124,7 +144,7 @@ class Captioner:
         enc_hidden, enc_mask = self._encode(
             self.params, images, jnp.asarray(src_ids),
             jnp.asarray(src_mask))
-        ids = generate(
+        return generate(
             self.model.transformer_module(), self._decode_params,
             enc_hidden, enc_mask,
             max_length=max_length or cfg.generate_max_length,
@@ -133,5 +153,8 @@ class Captioner:
             top_p=top_p, rng=rng, min_length=min_length,
             repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram_size)
+
+    def caption_finish(self, ids: jax.Array) -> list[str]:
+        """Block on the device read and detokenize (host work)."""
         return self.tokenizer.batch_decode(np.asarray(ids),
                                            skip_special_tokens=True)

@@ -84,13 +84,30 @@ class DynamicBatcher:
     ``run_batch(key, payloads) -> results`` must return one result per
     payload, in order. Exceptions fail every request in that batch (the
     callers get the exception re-raised) and the batcher keeps serving.
+
+    Pipelined mode (``finalize`` given): ``run_batch(key, payloads)``
+    becomes the LAUNCH stage — it should enqueue device work and return a
+    handle without blocking on results (JAX dispatch is asynchronous) —
+    and ``finalize(key, handle, payloads) -> results`` runs on a separate
+    completer thread, blocking on the device read and doing the host-side
+    result work. The dispatcher can then collect/stack/launch batch N+1
+    while the device computes batch N and the completer detokenizes N-1:
+    steady-state throughput is set by max(host stage, device stage)
+    instead of their sum. ``pipeline_depth`` bounds launched-but-
+    unfinalized batches (device queue depth == latency bound).
     """
 
     def __init__(self, run_batch: Callable[[Hashable, Sequence[Any]], Sequence[Any]],
-                 max_batch: int = 8, window_ms: float = 5.0):
+                 max_batch: int = 8, window_ms: float = 5.0,
+                 finalize: Optional[Callable[..., Sequence[Any]]] = None,
+                 pipeline_depth: int = 2):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self._run_batch = run_batch
+        self._finalize = finalize
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self._lock = threading.Lock()
@@ -101,6 +118,16 @@ class DynamicBatcher:
         self._queue: collections.deque[_Pending] = collections.deque()
         self._held: Optional[_Pending] = None  # different-key peek slot
         self._closed = False
+        self._completer: Optional[threading.Thread] = None
+        if finalize is not None:
+            import queue as _queue
+
+            self._inflight: _queue.Queue = _queue.Queue(
+                maxsize=pipeline_depth)
+            self._completer = threading.Thread(
+                target=self._complete_loop, name="klab-serve-complete",
+                daemon=True)
+            self._completer.start()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="klab-serve-dispatch",
                                         daemon=True)
@@ -134,6 +161,9 @@ class DynamicBatcher:
             self._closed = True
             self._not_empty.notify()
         self._thread.join(timeout=10)
+        if self._completer is not None:
+            self._inflight.put(None)  # sentinel after the last real batch
+            self._completer.join(timeout=30)
 
     # -- dispatcher side ----------------------------------------------------
     def _take_first(self) -> Optional[_Pending]:
@@ -174,6 +204,35 @@ class DynamicBatcher:
                     continue
                 batch.append(item)
 
+    def _settle(self, batch: list[_Pending],
+                results: Optional[Sequence[Any]],
+                error: Optional[BaseException]) -> None:
+        """Assign results/error, record stats, release the waiters."""
+        if error is None:
+            assert results is not None
+            for item, res in zip(batch, results):
+                item.result = res
+        done = time.perf_counter()
+        with self._lock:
+            if error is not None:
+                self.stats.errors += len(batch)
+            self.stats.batches += 1
+            self.stats.rows += len(batch)
+            for item in batch:
+                self.stats.latencies_ms.append(
+                    (done - item.t_enqueue) * 1000.0)
+        for item in batch:
+            if error is not None:
+                item.error = error
+            item.event.set()
+
+    @staticmethod
+    def _check_counts(results: Sequence[Any], batch: list[_Pending]) -> None:
+        if len(results) != len(batch):
+            raise RuntimeError(
+                f"run_batch returned {len(results)} results for "
+                f"{len(batch)} payloads")
+
     def _dispatch_loop(self) -> None:
         while True:
             first = self._take_first()
@@ -189,26 +248,36 @@ class DynamicBatcher:
             batch = alive
             if not batch:
                 continue
+            payloads = [b.payload for b in batch]
+            if self._finalize is not None:
+                try:
+                    handle = self._run_batch(first.key, payloads)
+                except BaseException as e:  # noqa: BLE001 — fail, keep serving
+                    self._settle(batch, None, e)
+                    continue
+                # Blocks when pipeline_depth batches are already in flight:
+                # backpressure, not unbounded device queueing.
+                self._inflight.put((first.key, batch, handle))
+                continue
             try:
-                results = self._run_batch(first.key,
-                                          [b.payload for b in batch])
-                if len(results) != len(batch):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for "
-                        f"{len(batch)} payloads")
-                for item, res in zip(batch, results):
-                    item.result = res
+                results = self._run_batch(first.key, payloads)
+                self._check_counts(results, batch)
             except BaseException as e:  # noqa: BLE001 — fail the batch, keep serving
-                with self._lock:
-                    self.stats.errors += len(batch)
-                for item in batch:
-                    item.error = e
-            done = time.perf_counter()
-            with self._lock:
-                self.stats.batches += 1
-                self.stats.rows += len(batch)
-                for item in batch:
-                    self.stats.latencies_ms.append(
-                        (done - item.t_enqueue) * 1000.0)
-            for item in batch:
-                item.event.set()
+                self._settle(batch, None, e)
+                continue
+            self._settle(batch, results, None)
+
+    def _complete_loop(self) -> None:
+        while True:
+            task = self._inflight.get()
+            if task is None:
+                return
+            key, batch, handle = task
+            try:
+                results = self._finalize(key, handle,
+                                         [b.payload for b in batch])
+                self._check_counts(results, batch)
+            except BaseException as e:  # noqa: BLE001 — fail the batch, keep serving
+                self._settle(batch, None, e)
+                continue
+            self._settle(batch, results, None)

@@ -130,8 +130,13 @@ class CaptionService:
         self.max_gen_length = max(max_gen_length, config.generate_max_length)
         self._sample_lock = threading.Lock()
         self._sample_calls = 0
+        # Pipelined dispatch: _run_batch launches (stack + transfer +
+        # async device enqueue), _finish_batch blocks on the read and
+        # detokenizes on the completer thread — host work for batch N
+        # overlaps device compute for batch N+1.
         self._batcher = DynamicBatcher(self._run_batch, max_batch=max_batch,
-                                       window_ms=window_ms)
+                                       window_ms=window_ms,
+                                       finalize=self._finish_batch)
         self.default_params = GenParams(
             max_length=config.generate_max_length,
             num_beams=config.num_beams)
@@ -157,14 +162,16 @@ class CaptionService:
 
     # -- device side (dispatcher thread only) --------------------------------
     def _run_batch(self, gen: GenParams,
-                   payloads: Sequence[tuple[np.ndarray, str]]) -> list[str]:
+                   payloads: Sequence[tuple[np.ndarray, str]]):
+        """LAUNCH stage: stack/pad to the bucket, enqueue encode+decode on
+        the device, return the (non-blocking) token-id array handle."""
         n = len(payloads)
         bucket = pow2_batch(n, self.max_batch)
         images = np.stack([p[0] for p in payloads], axis=0)
         prompts = [p[1] for p in payloads]
         if bucket > n:
             # Pad rows replicate row 0: same static shape as a full bucket,
-            # and the padded outputs are sliced off below.
+            # and the padded outputs are sliced off in the finish stage.
             pad = np.broadcast_to(images[:1],
                                   (bucket - n,) + images.shape[1:])
             images = np.concatenate([images, pad], axis=0)
@@ -175,14 +182,19 @@ class CaptionService:
             with self._sample_lock:
                 self._sample_calls += 1
                 rng = jax.random.PRNGKey(self._sample_calls)
-        captions = self.captioner.caption(
+        return self.captioner.caption_launch(
             images, prompts, max_length=gen.max_length,
             num_beams=gen.num_beams, do_sample=gen.do_sample,
             temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p,
             rng=rng, min_length=gen.min_length,
             repetition_penalty=gen.repetition_penalty,
             no_repeat_ngram_size=gen.no_repeat_ngram_size)
-        return captions[:n]
+
+    def _finish_batch(self, gen: GenParams, ids,
+                      payloads: Sequence[tuple[np.ndarray, str]]) -> list[str]:
+        """FINISH stage (completer thread): block on the device read,
+        detokenize, drop the bucket-padding rows."""
+        return self.captioner.caption_finish(ids)[:len(payloads)]
 
     # -- startup -------------------------------------------------------------
     def warmup(self) -> list[int]:
@@ -193,9 +205,11 @@ class CaptionService:
         dummy = np.zeros((size, size, 3), np.uint8)
         buckets = batch_buckets(self.max_batch)
         for b in buckets:
-            # Direct call (not via submit): runs before the server accepts
-            # traffic, hits bucket b deterministically, and keeps warmup
-            # out of the serving stats.
-            self._run_batch(self.default_params,
-                            [(dummy, COCO_PROMPT)] * b)
+            # Direct launch+finish (not via submit): runs before the server
+            # accepts traffic, hits bucket b deterministically, and keeps
+            # warmup out of the serving stats.
+            payloads = [(dummy, COCO_PROMPT)] * b
+            self._finish_batch(self.default_params,
+                               self._run_batch(self.default_params,
+                                               payloads), payloads)
         return buckets

@@ -492,3 +492,61 @@ def test_http_oversized_body_is_refused(micro_service):
     finally:
         server.httpd.shutdown()
         server.httpd.server_close()
+
+
+def test_batcher_pipelined_launch_finalize_overlap():
+    """Pipelined mode: run_batch launches (returns a handle), finalize
+    completes on the completer thread; results are correct, errors in
+    either stage fail only their batch, and the pipeline actually admits
+    a second launch while the first is unfinalized."""
+    import queue as q
+
+    launched = q.Queue()
+    gate = threading.Event()
+
+    def launch(key, payloads):
+        if payloads[0] == "boom-launch":
+            raise RuntimeError("launch failed")
+        launched.put(list(payloads))
+        return ("handle", list(payloads))
+
+    def finalize(key, handle, payloads):
+        tag, items = handle
+        assert tag == "handle" and items == list(payloads)
+        gate.wait(30)  # hold finalize so a second batch can launch
+        if payloads[0] == "boom-finalize":
+            raise RuntimeError("finalize failed")
+        return [f"{key}:{p}!" for p in payloads]
+
+    b = DynamicBatcher(launch, max_batch=2, window_ms=1.0,
+                       finalize=finalize, pipeline_depth=2)
+    try:
+        results = {}
+        threads = [threading.Thread(
+            target=lambda i=i: results.update({i: b.submit("k", f"p{i}",
+                                                           timeout=30)}))
+            for i in range(2)]
+        for t in threads:
+            t.start()
+        # Both submits launch (possibly as 1 or 2 batches) BEFORE any
+        # finalize completes — proves overlap.
+        seen = launched.get(timeout=10)
+        total = list(seen)
+        while len(total) < 2:
+            total += launched.get(timeout=10)
+        gate.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert results == {0: "k:p0!", 1: "k:p1!"}
+
+        with pytest.raises(RuntimeError, match="launch failed"):
+            b.submit("k", "boom-launch", timeout=30)
+        with pytest.raises(RuntimeError, match="finalize failed"):
+            b.submit("k", "boom-finalize", timeout=30)
+        # Still serving after both failure modes.
+        assert b.submit("k", "alive", timeout=30) == "k:alive!"
+        snap = b.stats.snapshot()
+        assert snap["errors"] == 2
+    finally:
+        gate.set()
+        b.close()
