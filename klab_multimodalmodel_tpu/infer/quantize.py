@@ -19,11 +19,13 @@ Mechanics — exact by construction:
     live in a parallel ``qscale`` collection that
     :class:`models.t5.KlabDense` applies when bound and ignores otherwise,
     so training and fp inference paths are untouched;
-  * the tied LM head (``shared.attend`` — the single largest per-step
-    stream: vocab x d_model) gets a dedicated int8 copy + per-vocab-row
-    scale in the same collection; the fp embedding stays for the lookup
-    (a gather only reads the B rows it needs, so it costs nothing
-    per step).
+  * optionally (``int8_head=True``) the tied LM head (``shared.attend``
+    — the single largest per-step stream: vocab x d_model) gets a
+    dedicated int8 copy + per-vocab-row scale in the same collection;
+    the fp embedding stays for the lookup (a gather only reads the B
+    rows it needs, so it costs nothing per step). Off by default: the
+    per-step (rows, vocab) scale multiply erased the win at t5-base and
+    regressed beam search (BASELINE.md int8 table).
 
 No reference analogue (``/root/reference`` serves nothing); this is the
 framework's own serving-performance surface, benched in
@@ -71,7 +73,8 @@ def quantize_kernel(kernel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scale.squeeze(-2).astype(np.float32)
 
 
-def quantize_transformer_int8(params: Any) -> tuple[Any, Any]:
+def quantize_transformer_int8(params: Any,
+                              int8_head: bool = False) -> tuple[Any, Any]:
     """Quantize a T5ForConditionalGeneration params tree.
 
     Returns ``(params_q, qscale)``: ``params_q`` is ``params`` with each
@@ -101,7 +104,7 @@ def quantize_transformer_int8(params: Any) -> tuple[Any, Any]:
     params_q, qscale = walk(dict(params))
     qscale = qscale or {}
     shared = params_q.get("shared")
-    if shared is not None and "embedding" in shared:
+    if int8_head and shared is not None and "embedding" in shared:
         # Tied head: int8 copy of E + per-row scale; rows are the head's
         # output channels (logits_v = s_v * (h @ Q_v)). E itself stays fp
         # for the lookup gather.
@@ -113,15 +116,26 @@ def quantize_transformer_int8(params: Any) -> tuple[Any, Any]:
 
 
 def quantize_for_decode(transformer_params: Any,
-                        cast_dtype=jnp.bfloat16) -> QuantizedParams:
-    """One-call serving conversion: int8 dense kernels + tied head, every
-    remaining fp32 leaf (embedding lookup copy, norms, relpos tables)
-    cast to ``cast_dtype``. Returns the :class:`QuantizedParams` pytree
-    the decode entry points accept in place of raw params."""
+                        cast_dtype=jnp.bfloat16,
+                        int8_head: bool = False) -> QuantizedParams:
+    """One-call serving conversion: int8 dense kernels, every remaining
+    fp32 leaf (embedding/head, norms, relpos tables) cast to
+    ``cast_dtype``. Returns the :class:`QuantizedParams` pytree the
+    decode entry points accept in place of raw params.
+
+    ``int8_head`` defaults OFF on measurement (BASELINE.md int8 table):
+    the tied (vocab, d) LM head is the single largest per-step stream,
+    but its int8 variant adds a per-step (rows, vocab) fp32 scale
+    multiply that grows with beam width — at t5-base the fp-head config
+    measured identical on greedy/batched decode (35.5 vs 35.7 ms p50)
+    and turned beam-4 from a +14% regression into -8% vs fp. The int8
+    head remains available for large-d_model serving where the saved
+    head stream dominates the scale multiply."""
     import jax
     import jax.numpy as _jnp
 
-    params_q, qscale = quantize_transformer_int8(transformer_params)
+    params_q, qscale = quantize_transformer_int8(transformer_params,
+                                                 int8_head=int8_head)
     if cast_dtype is not None:
         params_q = cast_for_decode(params_q, cast_dtype)
     # quantize_transformer_int8 computes on host (numpy); committing the

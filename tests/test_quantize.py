@@ -67,7 +67,7 @@ def test_tree_structure_and_scan_axes(setup):
     """Int8 kernels keep their path/shape (incl. the scanned layer axis);
     scales mirror them one axis smaller; nothing else is touched."""
     _, params = setup
-    params_q, qscale = quantize_transformer_int8(params)
+    params_q, qscale = quantize_transformer_int8(params, int8_head=True)
 
     flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
     flat_q = dict(jax.tree_util.tree_flatten_with_path(params_q)[0])
@@ -94,13 +94,18 @@ def test_tree_structure_and_scan_axes(setup):
         "q"]["scale"]
     assert enc_q_scale.shape == (TINY.num_layers,
                                  TINY.num_heads * TINY.d_kv)
+    # Default: head stays fp (measured beam regression, BASELINE.md) —
+    # no head grid in the collection, the model falls back to attend().
+    _, qscale_default = quantize_transformer_int8(params)
+    assert "head_q" not in qscale_default
+    assert "head_scale" not in qscale_default
 
 
 def test_quantized_apply_equals_dequantized_apply(setup, rng):
     """The qscale path computes the same function as dequantized fp32
     params — associativity-level float noise only."""
     model, params = setup
-    params_q, qscale = quantize_transformer_int8(params)
+    params_q, qscale = quantize_transformer_int8(params, int8_head=True)
 
     # Build explicit fp32 params from (Q, scale) to apply WITHOUT qscale.
     def walk(p, q, s):
@@ -137,7 +142,7 @@ def test_quantized_tied_head_exact(setup, rng):
     """Isolate the tied head: logits from the qscale head equal
     h @ dequant(head_q)ᵀ computed in numpy."""
     model, params = setup
-    qp = quantize_for_decode(params, cast_dtype=None)
+    qp = quantize_for_decode(params, cast_dtype=None, int8_head=True)
     enc = jnp.asarray(rng.normal(size=(1, 3, TINY.d_model)).astype(
         np.float32))
     tok = jnp.zeros((1, 1), jnp.int32)

@@ -68,7 +68,11 @@ def main() -> None:
         from klab_multimodalmodel_tpu.infer.quantize import \
             quantize_for_decode
 
-        dec_params = quantize_for_decode(dec_params)
+        # KLAB_DECODE_INT8_HEAD=1 additionally int8-quantizes the tied
+        # LM head (off by default — measured neutral on greedy and a
+        # beam regression at t5-base, BASELINE.md int8 table).
+        head = os.environ.get("KLAB_DECODE_INT8_HEAD", "0") == "1"
+        dec_params = quantize_for_decode(dec_params, int8_head=head)
 
     t5 = model.transformer_module()
 
