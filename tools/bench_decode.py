@@ -45,16 +45,24 @@ def main() -> None:
     bf16_params = os.environ.get("KLAB_DECODE_BF16", "0") == "1"
     fused = os.environ.get("KLAB_DECODE_FUSED", "0") == "1"
     int8 = os.environ.get("KLAB_DECODE_INT8", "0") == "1"
-    cfg = Config(language_model_name="t5-base",
-                 transformer_model_name="t5-base",
-                 max_source_length=64, compute_dtype="bfloat16",
+    #   KLAB_DECODE_MODEL / KLAB_DECODE_SRC: tower size and padded source
+    #     width — default = bench geometry (t5-base, 64); flagship =
+    #     t5-large + 256 (the reference's default config).
+    model_name = os.environ.get("KLAB_DECODE_MODEL", "t5-base")
+    src_len = int(os.environ.get("KLAB_DECODE_SRC", "64"))
+    cfg = Config(language_model_name=model_name,
+                 transformer_model_name=model_name,
+                 max_source_length=src_len, compute_dtype="bfloat16",
                  scan_unroll=unroll)
     model = MultiModalModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
-    src = jnp.asarray(rng.integers(2, 1000, (1, 64)), jnp.int32)
-    mask = jnp.ones((1, 64), jnp.int32)
-    params = model.init(
+    src = jnp.asarray(rng.integers(2, 1000, (1, src_len)), jnp.int32)
+    mask = jnp.ones((1, src_len), jnp.int32)
+    # Jit the init: eager init dispatches one op per parameter, which over
+    # the tunneled backend costs ~minutes at t5-base and much worse at
+    # flagship t5-large; one compiled init program takes seconds.
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), normalize_images(img, dtype=jnp.bfloat16),
         src, jnp.zeros((1, 4), jnp.int32), source_mask=mask)["params"]
 
@@ -110,7 +118,8 @@ def main() -> None:
         return np.asarray(ids)  # host read = sync
 
     out = {"metric": "caption decode latency (batch 1, max_length 20)",
-           "unit": "ms"}
+           "unit": "ms", "model": model_name, "src": src_len,
+           "int8": int8}
     for label, beams in (("greedy", 1), ("beam4", 4)):
         caption_once(beams)  # compile
         lat = []
@@ -150,7 +159,8 @@ def main() -> None:
     # (evaluation/evaluate.py greedy-decodes val2017 ~5k images batch-32):
     # img/s here x 5000 predicts its wall-clock.
     out_b = {"metric": "batched greedy decode throughput (max_length 20)",
-             "unit": "images/sec"}
+             "unit": "images/sec", "model": model_name, "src": src_len,
+             "int8": int8}
     for B in (8, 32):
         bimg = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3),
                                         dtype=np.uint8))
