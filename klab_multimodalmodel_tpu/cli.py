@@ -113,7 +113,8 @@ def serve_main() -> None:
 
     p = argparse.ArgumentParser(
         description="Serve a trained run over HTTP with dynamic batching "
-                    "(POST /caption, GET /healthz, GET /stats)")
+                    "(POST /caption, streaming POST /caption_stream, "
+                    "GET /healthz, GET /stats)")
     p.add_argument("--result_dir", required=True)
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--host", default="0.0.0.0")
@@ -133,6 +134,9 @@ def serve_main() -> None:
     p.add_argument("--max_gen_length", type=int, default=128,
                    help="upper bound on per-request max_length (KV-cache "
                         "size / compile-time guard)")
+    p.add_argument("--stream_chunk", type=int, default=4,
+                   help="default tokens per /caption_stream SSE event "
+                        "(clients may override with chunk_size)")
     args = p.parse_args()
 
     from .serve.service import batch_buckets
@@ -142,7 +146,8 @@ def serve_main() -> None:
                              max_batch=args.max_batch,
                              window_ms=args.batch_window_ms,
                              decode_int8=args.int8,
-                             max_gen_length=args.max_gen_length)
+                             max_gen_length=args.max_gen_length,
+                             stream_chunk=args.stream_chunk)
     server = CaptionHTTPServer(service, host=args.host, port=args.port)
     n_buckets = 0 if args.no_warmup else len(batch_buckets(args.max_batch))
     print(f"klab-serve: listening on {args.host}:{server.port} "

@@ -1,2 +1,3 @@
-from .generate import (beam_search_decode, generate, greedy_decode,
-                       sample_decode, warp_logits)
+from .generate import (StreamState, beam_search_decode, generate,
+                       greedy_decode, sample_decode, stream_chunk,
+                       stream_decode, stream_init, warp_logits)

@@ -19,7 +19,7 @@ from ..data.image_ops import normalize_images
 from ..models.multimodal import MultiModalModel
 from ..text.tokenizer import TokenizerBase
 from ..utils.bucketing import pow2_bucket_width
-from .generate import generate
+from .generate import generate, stream_decode
 
 
 class Captioner:
@@ -121,6 +121,27 @@ class Captioner:
         return the token-id device array WITHOUT blocking on it — JAX
         dispatch is asynchronous, so a serving pipeline can launch batch
         N+1 while this batch computes. ``caption_finish`` blocks."""
+        enc_hidden, enc_mask = self._encode_prefill(images_uint8, prompts)
+        cfg = self.config
+        return generate(
+            self.model.transformer_module(), self._decode_params,
+            enc_hidden, enc_mask,
+            max_length=max_length or cfg.generate_max_length,
+            num_beams=num_beams or cfg.num_beams,
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            top_p=top_p, rng=rng, min_length=min_length,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size)
+
+    def caption_finish(self, ids: jax.Array) -> list[str]:
+        """Block on the device read and detokenize (host work)."""
+        return self.tokenizer.batch_decode(np.asarray(ids),
+                                           skip_special_tokens=True)
+
+    def _encode_prefill(self, images_uint8: np.ndarray,
+                        prompts: Optional[Sequence[str]]):
+        """Tokenize + bucket the prompts, normalize images, run the jitted
+        encode: the shared front half of batch and streaming captioning."""
         cfg = self.config
         B = images_uint8.shape[0]
         prompts = list(prompts) if prompts is not None else [COCO_PROMPT] * B
@@ -141,20 +162,32 @@ class Captioner:
             width = pow2_bucket_width(src_mask, 16)
             src_ids, src_mask = src_ids[:, :width], src_mask[:, :width]
         images = normalize_images(jnp.asarray(images_uint8))
-        enc_hidden, enc_mask = self._encode(
-            self.params, images, jnp.asarray(src_ids),
-            jnp.asarray(src_mask))
-        return generate(
-            self.model.transformer_module(), self._decode_params,
-            enc_hidden, enc_mask,
-            max_length=max_length or cfg.generate_max_length,
-            num_beams=num_beams or cfg.num_beams,
-            do_sample=do_sample, temperature=temperature, top_k=top_k,
-            top_p=top_p, rng=rng, min_length=min_length,
-            repetition_penalty=repetition_penalty,
-            no_repeat_ngram_size=no_repeat_ngram_size)
+        return self._encode(self.params, images, jnp.asarray(src_ids),
+                            jnp.asarray(src_mask))
 
-    def caption_finish(self, ids: jax.Array) -> list[str]:
-        """Block on the device read and detokenize (host work)."""
-        return self.tokenizer.batch_decode(np.asarray(ids),
-                                           skip_special_tokens=True)
+    def caption_stream(self, images_uint8: np.ndarray,
+                       prompts: Optional[Sequence[str]] = None,
+                       max_length: Optional[int] = None,
+                       chunk_size: int = 4, do_sample: bool = False,
+                       temperature: float = 1.0, top_k: int = 0,
+                       top_p: float = 1.0, rng=None, min_length: int = 0,
+                       repetition_penalty: float = 1.0,
+                       no_repeat_ngram_size: int = 0):
+        """Streaming captioning: a generator yielding ``(texts, done)``
+        with cumulative decoded captions after the first token and then
+        after every ``chunk_size`` tokens. The final yield's texts equal
+        :meth:`caption`'s output for the same arguments (greedy and
+        sampling; beams don't stream — see ``generate.stream_decode``)."""
+        enc_hidden, enc_mask = self._encode_prefill(images_uint8, prompts)
+        cfg = self.config
+        for tokens, n_valid, done in stream_decode(
+                self.model.transformer_module(), self._decode_params,
+                enc_hidden, enc_mask,
+                max_length=max_length or cfg.generate_max_length,
+                chunk_size=chunk_size, do_sample=do_sample,
+                temperature=temperature, top_k=top_k, top_p=top_p, rng=rng,
+                min_length=min_length,
+                repetition_penalty=repetition_penalty,
+                no_repeat_ngram_size=no_repeat_ngram_size):
+            yield (self.tokenizer.batch_decode(
+                tokens[:, :n_valid], skip_special_tokens=True), done)

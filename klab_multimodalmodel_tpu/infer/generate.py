@@ -27,10 +27,11 @@ stay one dynamic-update-slice per step.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.t5 import T5ForConditionalGeneration
 from .quantize import QuantizedParams
@@ -65,6 +66,73 @@ def _step(model, params, cache, token, step, encoder_hidden, encoder_mask,
     return logits[:, -1], mods["cache"]
 
 
+def _select_next(logits, tokens, step, size, finished, do_sample,
+                 temperature, top_k, top_p, min_length, repetition_penalty,
+                 no_repeat_ngram_size, rng):
+    """One token choice from raw step logits — the shared core of greedy,
+    sampling, and the streaming variants (token-exactness across them is
+    by construction). Applies HF's processor chain, then either argmax or
+    a warped categorical draw keyed by the absolute step (so a resumed/
+    chunked loop draws the same stream), and pads out finished rows."""
+    logits = process_logits(logits, tokens, step, size.eos_token_id,
+                            min_length, repetition_penalty,
+                            no_repeat_ngram_size)
+    if do_sample:
+        logits = warp_logits(logits, temperature, top_k, top_p)
+        nxt = jax.random.categorical(
+            jax.random.fold_in(rng, step), logits).astype(jnp.int32)
+    else:
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(finished, size.pad_token_id, nxt)
+
+
+def _prime(model, params, encoder_hidden, encoder_mask, max_length,
+           do_sample, temperature, top_k, top_p, min_length,
+           repetition_penalty, no_repeat_ngram_size, rng):
+    """Prime the cache and choose token 1: the shared entry state of the
+    greedy / sampling / streaming loops — ``(step=1, tokens, cache,
+    finished)`` with positions 0 (decoder start) and 1 filled."""
+    size = model.size
+    B = encoder_hidden.shape[0]
+    start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
+    logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
+                                 start, max_length)
+    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(start[:, 0])
+    tok1 = _select_next(logits0, tokens, jnp.asarray(0, jnp.int32), size,
+                        jnp.zeros((B,), bool), do_sample, temperature,
+                        top_k, top_p, min_length, repetition_penalty,
+                        no_repeat_ngram_size, rng)
+    tokens = tokens.at[:, 1].set(tok1)
+    return (jnp.asarray(1, jnp.int32), tokens, cache,
+            tok1 == size.eos_token_id)
+
+
+def _sequential_body(model, params, encoder_hidden, encoder_mask,
+                     max_length, do_sample, temperature, top_k, top_p,
+                     min_length, repetition_penalty, no_repeat_ngram_size,
+                     rng):
+    """The one per-step decode body shared by greedy, sampling, and the
+    chunked streaming loop (``lax.while_loop`` carry:
+    ``(step, tokens, cache, finished)``)."""
+    size = model.size
+
+    def body(carry):
+        step, tokens, cache, finished = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
+        logits, cache = _step(model, params, cache, cur, step,
+                              encoder_hidden, encoder_mask, max_length)
+        nxt = _select_next(logits, tokens, step, size, finished, do_sample,
+                           temperature, top_k, top_p, min_length,
+                           repetition_penalty, no_repeat_ngram_size, rng)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], step + 1, axis=1)
+        finished = jnp.logical_or(finished, nxt == size.eos_token_id)
+        return step + 1, tokens, cache, finished
+
+    return body
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def greedy_decode(model: T5ForConditionalGeneration, params: Any,
                   encoder_hidden: jax.Array,
@@ -78,43 +146,19 @@ def greedy_decode(model: T5ForConditionalGeneration, params: Any,
     Logits processors apply to the raw fp32 logits before the argmax,
     exactly where HF's ``_sample`` runs ``logits_processor`` (on
     ``next_token_logits``, not on log-probs)."""
-    size = model.size
-    B = encoder_hidden.shape[0]
-    start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
-
-    logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
-                                 start, max_length)
-    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
-    tokens = tokens.at[:, 0].set(start[:, 0])
-    logits0 = process_logits(logits0, tokens, jnp.asarray(0, jnp.int32),
-                             size.eos_token_id, min_length,
-                             repetition_penalty, no_repeat_ngram_size)
-    tok1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
-    tokens = tokens.at[:, 1].set(tok1)
-    finished0 = tok1 == size.eos_token_id
+    init = _prime(model, params, encoder_hidden, encoder_mask, max_length,
+                  False, 1.0, 0, 1.0, min_length, repetition_penalty,
+                  no_repeat_ngram_size, None)
+    body = _sequential_body(model, params, encoder_hidden, encoder_mask,
+                            max_length, False, 1.0, 0, 1.0, min_length,
+                            repetition_penalty, no_repeat_ngram_size, None)
 
     def cond(carry):
         step, _, _, finished = carry
         return jnp.logical_and(step < max_length - 1,
                                jnp.logical_not(jnp.all(finished)))
 
-    def body(carry):
-        step, tokens, cache, finished = carry
-        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
-        logits, cache = _step(model, params, cache, cur, step,
-                              encoder_hidden, encoder_mask, max_length)
-        logits = process_logits(logits, tokens, step, size.eos_token_id,
-                                min_length, repetition_penalty,
-                                no_repeat_ngram_size)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, size.pad_token_id, nxt)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], step + 1, axis=1)
-        finished = jnp.logical_or(finished, nxt == size.eos_token_id)
-        return step + 1, tokens, cache, finished
-
-    _, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32), tokens, cache, finished0))
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, init)
     return tokens
 
 
@@ -411,48 +455,133 @@ def sample_decode(model: T5ForConditionalGeneration, params: Any,
     :func:`greedy_decode`: ``[decoder_start, t1, ..., eos, pad...]``;
     finished rows emit pads.
     """
-    size = model.size
-    B = encoder_hidden.shape[0]
-    start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
-
-    logits0, cache = _init_cache(model, params, encoder_hidden, encoder_mask,
-                                 start, max_length)
-    tokens = jnp.full((B, max_length), size.pad_token_id, jnp.int32)
-    tokens = tokens.at[:, 0].set(start[:, 0])
-    logits0 = process_logits(logits0, tokens, jnp.asarray(0, jnp.int32),
-                             size.eos_token_id, min_length,
-                             repetition_penalty, no_repeat_ngram_size)
-    warped0 = warp_logits(logits0, temperature, top_k, top_p)
-    tok1 = jax.random.categorical(
-        jax.random.fold_in(rng, 0), warped0).astype(jnp.int32)
-    tokens = tokens.at[:, 1].set(tok1)
-    finished0 = tok1 == size.eos_token_id
+    init = _prime(model, params, encoder_hidden, encoder_mask, max_length,
+                  True, temperature, top_k, top_p, min_length,
+                  repetition_penalty, no_repeat_ngram_size, rng)
+    body = _sequential_body(model, params, encoder_hidden, encoder_mask,
+                            max_length, True, temperature, top_k, top_p,
+                            min_length, repetition_penalty,
+                            no_repeat_ngram_size, rng)
 
     def cond(carry):
         step, _, _, finished = carry
         return jnp.logical_and(step < max_length - 1,
                                jnp.logical_not(jnp.all(finished)))
 
-    def body(carry):
-        step, tokens, cache, finished = carry
-        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
-        logits, cache = _step(model, params, cache, cur, step,
-                              encoder_hidden, encoder_mask, max_length)
-        logits = process_logits(logits, tokens, step, size.eos_token_id,
-                                min_length, repetition_penalty,
-                                no_repeat_ngram_size)
-        warped = warp_logits(logits, temperature, top_k, top_p)
-        nxt = jax.random.categorical(
-            jax.random.fold_in(rng, step), warped).astype(jnp.int32)
-        nxt = jnp.where(finished, size.pad_token_id, nxt)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], step + 1, axis=1)
-        finished = jnp.logical_or(finished, nxt == size.eos_token_id)
-        return step + 1, tokens, cache, finished
-
-    _, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32), tokens, cache, finished0))
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, init)
     return tokens
+
+
+class StreamState(NamedTuple):
+    """Resumable decode state for chunked / streaming generation.
+
+    ``step`` counts tokens generated so far (sequence positions
+    ``0..step`` of ``tokens`` are valid: decoder start + ``step`` chosen
+    tokens); ``cache`` is the KV cache advanced through position ``step``;
+    ``finished`` marks rows that already emitted eos. The whole tuple is
+    an ordinary jit-transparent pytree of device arrays, so chunk calls
+    chain without host round-trips for the state itself.
+    """
+
+    step: jax.Array
+    tokens: jax.Array
+    cache: Any
+    finished: jax.Array
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+def stream_init(model: T5ForConditionalGeneration, params: Any,
+                encoder_hidden: jax.Array,
+                encoder_mask: Optional[jax.Array], max_length: int,
+                do_sample: bool = False, temperature: float = 1.0,
+                top_k: int = 0, top_p: float = 1.0, min_length: int = 0,
+                repetition_penalty: float = 1.0,
+                no_repeat_ngram_size: int = 0,
+                rng: Optional[jax.Array] = None) -> StreamState:
+    """Prime the cache and choose the first token; the returned state
+    feeds :func:`stream_chunk`. Identical math to the first step of
+    :func:`greedy_decode` / :func:`sample_decode` (same ``_prime``)."""
+    return StreamState(*_prime(
+        model, params, encoder_hidden, encoder_mask, max_length, do_sample,
+        temperature, top_k, top_p, min_length, repetition_penalty,
+        no_repeat_ngram_size, rng))
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def stream_chunk(model: T5ForConditionalGeneration, params: Any,
+                 encoder_hidden: jax.Array,
+                 encoder_mask: Optional[jax.Array], max_length: int,
+                 chunk: int, do_sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0, min_length: int = 0,
+                 repetition_penalty: float = 1.0,
+                 no_repeat_ngram_size: int = 0,
+                 state: StreamState = None,
+                 rng: Optional[jax.Array] = None) -> StreamState:
+    """Advance a stream by up to ``chunk`` tokens (stops early when every
+    row is finished or ``max_length`` is reached). Runs the SAME
+    ``_sequential_body`` as the monolithic loops, so the concatenation of
+    chunks is token-identical to a single :func:`greedy_decode` /
+    :func:`sample_decode` call — the chunk size only sets how often the
+    host can observe (and stream out) the partial sequences."""
+    body = _sequential_body(model, params, encoder_hidden, encoder_mask,
+                            max_length, do_sample, temperature, top_k,
+                            top_p, min_length, repetition_penalty,
+                            no_repeat_ngram_size, rng)
+    limit = jnp.minimum(state.step + chunk, max_length - 1)
+
+    def cond(carry):
+        step, _, _, finished = carry
+        return jnp.logical_and(step < limit,
+                               jnp.logical_not(jnp.all(finished)))
+
+    return StreamState(*jax.lax.while_loop(cond, body, tuple(state)))
+
+
+def stream_decode(model: T5ForConditionalGeneration, params: Any,
+                  encoder_hidden: jax.Array,
+                  encoder_mask: Optional[jax.Array], max_length: int = 20,
+                  chunk_size: int = 4, do_sample: bool = False,
+                  temperature: float = 1.0, top_k: int = 0,
+                  top_p: float = 1.0, rng: Optional[jax.Array] = None,
+                  min_length: int = 0, repetition_penalty: float = 1.0,
+                  no_repeat_ngram_size: int = 0):
+    """Streaming generation: yields ``(tokens, n_valid, done)`` after the
+    first token and then after every ``chunk_size`` further tokens —
+    ``tokens`` a host (B, max_length) int array whose first ``n_valid``
+    positions are decided, ``done`` True on the final yield. The final
+    tokens are exactly :func:`greedy_decode` / :func:`sample_decode`'s
+    output for the same inputs (pinned by ``tests/test_stream.py``).
+
+    TPU-first trade: each yield costs one device->host token read (the
+    KV cache itself never leaves the device), so ``chunk_size`` sets the
+    time-to-first-token / dispatch-overhead trade — chunk 1 streams every
+    token but pays a host round-trip per token; chunk 4-8 amortizes
+    dispatch to a negligible fraction of step time. Greedy and sampling
+    only: a beam's running-best hypothesis can be displaced at any step,
+    so prefix streaming would mislead (HF streamers skip beams too).
+    """
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    state = stream_init(model, params, encoder_hidden, encoder_mask,
+                        max_length, do_sample, temperature, top_k, top_p,
+                        min_length, repetition_penalty,
+                        no_repeat_ngram_size, rng)
+    while True:
+        # Host read of the token buffer = the only sync point per yield.
+        tokens = np.asarray(state.tokens)
+        step = int(state.step)
+        done = step >= max_length - 1 or bool(np.asarray(
+            state.finished).all())
+        yield tokens, step + 1, done
+        if done:
+            return
+        state = stream_chunk(model, params, encoder_hidden, encoder_mask,
+                             max_length, chunk_size, do_sample, temperature,
+                             top_k, top_p, min_length, repetition_penalty,
+                             no_repeat_ngram_size, state, rng)
 
 
 def generate(model: T5ForConditionalGeneration, params: Any,

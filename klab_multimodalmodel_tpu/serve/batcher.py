@@ -38,6 +38,7 @@ class BatchStats:
     requests: int = 0
     batches: int = 0
     rows: int = 0  # sum of real (unpadded) batch occupancy
+    calls: int = 0  # submit_call jobs (streaming chunk advances)
     errors: int = 0
     abandoned: int = 0  # timed-out submits cancelled before device work
     latencies_ms: collections.deque = field(
@@ -55,6 +56,7 @@ class BatchStats:
         return {
             "requests": self.requests,
             "batches": self.batches,
+            "calls": self.calls,
             "errors": self.errors,
             "abandoned": self.abandoned,
             "mean_batch_occupancy": (self.rows / self.batches
@@ -66,9 +68,9 @@ class BatchStats:
 
 class _Pending:
     __slots__ = ("key", "payload", "event", "result", "error", "t_enqueue",
-                 "abandoned")
+                 "abandoned", "is_call")
 
-    def __init__(self, key: Hashable, payload: Any):
+    def __init__(self, key: Hashable, payload: Any, is_call: bool = False):
         self.key = key
         self.payload = payload
         self.event = threading.Event()
@@ -76,6 +78,7 @@ class _Pending:
         self.error: Optional[BaseException] = None
         self.t_enqueue = time.perf_counter()
         self.abandoned = False  # set (under the batcher lock) on timeout
+        self.is_call = is_call  # payload is a 0-arg callable, not a request
 
 
 class DynamicBatcher:
@@ -152,6 +155,33 @@ class DynamicBatcher:
             with self._lock:
                 item.abandoned = True
             raise TimeoutError("request timed out waiting for a batch slot")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def submit_call(self, fn: Callable[[], Any],
+                    timeout: Optional[float] = None) -> Any:
+        """Run ``fn()`` on the dispatcher thread and return its result.
+
+        The lane for device work that must share the single device owner
+        but doesn't batch — one streaming chunk advance is one call. Call
+        jobs interleave with batches in arrival order (each carries a
+        unique key, so the fill loop never merges them into a batch), so
+        a long-lived stream occupies the device one chunk at a time
+        instead of starving batched traffic — and a stream abandoned by
+        its client simply stops submitting chunks.
+        """
+        item = _Pending(object(), fn, is_call=True)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self.stats.calls += 1
+            self._queue.append(item)
+            self._not_empty.notify()
+        if not item.event.wait(timeout):
+            with self._lock:
+                item.abandoned = True
+            raise TimeoutError("call timed out waiting for the dispatcher")
         if item.error is not None:
             raise item.error
         return item.result
@@ -238,6 +268,24 @@ class DynamicBatcher:
             first = self._take_first()
             if first is None:
                 return  # closed and drained
+            if first.is_call:
+                # Call jobs run inline on the dispatcher (they block on
+                # their own device read), never enter a batch, and never
+                # ride the finalize pipeline.
+                try:
+                    result = first.payload()
+                except BaseException as e:  # noqa: BLE001 — fail the call, keep serving
+                    first.error = e
+                    with self._lock:
+                        self.stats.errors += 1
+                    first.event.set()
+                    continue
+                first.result = result
+                with self._lock:
+                    self.stats.latencies_ms.append(
+                        (time.perf_counter() - first.t_enqueue) * 1000.0)
+                first.event.set()
+                continue
             batch = [first]
             self._fill(batch, first.t_enqueue + self.window_s)
             with self._lock:

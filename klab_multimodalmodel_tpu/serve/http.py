@@ -6,6 +6,13 @@ Endpoints:
     "do_sample"?: bool, "temperature"?: float, "top_k"?: int,
     "top_p"?: float, "min_length"?: int, "repetition_penalty"?: float,
     "no_repeat_ngram_size"?: int}`` -> ``{"caption": str}``.
+  * ``POST /caption_stream`` — same body plus ``"chunk_size"?: int``;
+    responds ``text/event-stream`` (SSE): one
+    ``data: {"caption": <cumulative text>, "done": bool}`` event after
+    the first generated token and then every ``chunk_size`` tokens
+    (greedy/sampling only — ``num_beams`` must be 1). The connection
+    closes after the ``done: true`` event; a client disconnect stops the
+    stream's device work at the next chunk boundary.
   * ``GET /healthz`` — 200 ``{"status": "ok"}`` once warmup finished,
     503 before (load balancers gate on this so no request pays a compile).
   * ``GET /stats`` — batching/latency counters.
@@ -93,7 +100,7 @@ class _Handler(BaseHTTPRequestHandler):
                                       f"[0, {MAX_BODY_BYTES}]"})
             return
         raw = self.rfile.read(length)
-        if self.path != "/caption":
+        if self.path not in ("/caption", "/caption_stream"):
             self._send(404, {"error": f"no route {self.path}"})
             return
         if not self.ready.is_set():
@@ -108,6 +115,9 @@ class _Handler(BaseHTTPRequestHandler):
                 json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})
             return
+        if self.path == "/caption_stream":
+            self._stream_caption(body, image, gen)
+            return
         try:
             caption = self.service.caption_bytes(
                 image, prompt=body.get("prompt"), gen=gen)
@@ -121,6 +131,61 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
             return
         self._send(200, {"caption": caption})
+
+    def _stream_caption(self, body: dict, image: bytes, gen) -> None:
+        """Serve one SSE stream. Validation errors before the first event
+        are ordinary JSON responses; once streaming has begun, errors
+        become a final SSE ``{"error": ...}`` event (the status line is
+        already on the wire)."""
+        chunk_size = body.get("chunk_size")
+        if chunk_size is not None and not isinstance(chunk_size, int):
+            self._send(400, {"error": "chunk_size must be an integer"})
+            return
+        try:
+            events = self.service.caption_stream_bytes(
+                image, prompt=body.get("prompt"), gen=gen,
+                chunk_size=chunk_size)
+            # Pull the first event BEFORE committing to SSE so bad
+            # images / bad params still produce a clean 400.
+            first = next(events)
+        except (OSError, ValueError) as e:
+            self._send(400, {"error": f"bad request: {e}"})
+            return
+        except TimeoutError as e:
+            self._send(504, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — model-side failure
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        # SSE has no Content-Length; close the connection when done
+        # (keep-alive would make the event stream's end ambiguous).
+        self.close_connection = True
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+
+        def emit(payload: dict) -> None:
+            self.wfile.write(
+                b"data: " + json.dumps(payload).encode() + b"\n\n")
+            self.wfile.flush()
+
+        try:
+            caption, done = first
+            emit({"caption": caption, "done": done})
+            for caption, done in events:
+                emit({"caption": caption, "done": done})
+        except (BrokenPipeError, ConnectionResetError):
+            # Client went away: dropping the generator stops further
+            # chunk jobs, so an abandoned stream stops costing device
+            # work at the next chunk boundary.
+            events.close()
+        except Exception as e:  # noqa: BLE001 — mid-stream failure
+            try:
+                emit({"error": f"{type(e).__name__}: {e}", "done": True})
+            except OSError:
+                pass
 
 
 class CaptionHTTPServer:

@@ -119,12 +119,15 @@ class CaptionService:
     def __init__(self, config: Config, params: Any,
                  tokenizer: TokenizerBase, max_batch: int = 8,
                  window_ms: float = 5.0, decode_int8: bool = False,
-                 max_gen_length: int = 128):
+                 max_gen_length: int = 128, stream_chunk: int = 4):
         self.config = config
         self.tokenizer = tokenizer
         self.captioner = Captioner(config, params, tokenizer,
                                    decode_int8=decode_int8)
         self.max_batch = max_batch
+        # Default tokens-per-SSE-event for /caption_stream (the TTFB vs
+        # dispatch-overhead knob; infer/generate.py:stream_decode).
+        self.stream_chunk = stream_chunk
         # Upper bound on client max_length (KV-cache size + compile guard);
         # never below the configured default so default requests pass.
         self.max_gen_length = max(max_gen_length, config.generate_max_length)
@@ -156,6 +159,62 @@ class CaptionService:
                                          self.config.swin.image_size)
         return self._batcher.submit(gen, (image, prompt or COCO_PROMPT),
                                     timeout=timeout)
+
+    def caption_stream_bytes(self, image_bytes: bytes,
+                             prompt: Optional[str] = None,
+                             gen: Optional[GenParams] = None,
+                             chunk_size: Optional[int] = None,
+                             timeout: Optional[float] = 120.0):
+        """Streaming captioning: a generator yielding ``(caption, done)``
+        with the cumulative decoded caption after the first token and
+        then after every ``chunk_size`` tokens.
+
+        The image decodes on the CALLING thread; every generation advance
+        is one dispatcher *call job* (``DynamicBatcher.submit_call``), so
+        a stream holds the device for one chunk at a time and interleaves
+        fairly with batched /caption traffic. A client that disconnects
+        mid-stream stops the generator, which stops submitting chunk jobs
+        — abandoned streams cost zero further device work. Greedy and
+        sampling only (a beam's best hypothesis can be displaced at any
+        step, so prefix streaming would mislead).
+        """
+        gen = normalize_gen_params(gen or self.default_params,
+                                   self.max_gen_length)
+        if gen.num_beams > 1:
+            raise ValueError("streaming supports greedy/sampling only "
+                             "(num_beams must be 1)")
+        chunk = chunk_size if chunk_size is not None else self.stream_chunk
+        if not 1 <= chunk <= 64:
+            raise ValueError(f"chunk_size must be in [1, 64], got {chunk}")
+        image = load_image_bytes_resized(image_bytes,
+                                         self.config.swin.image_size)
+        rng = None
+        if gen.do_sample:
+            with self._sample_lock:
+                self._sample_calls += 1
+                rng = jax.random.PRNGKey(self._sample_calls)
+
+        # The captioner generator dispatches device work, so it is only
+        # ever advanced on the dispatcher thread — one next() per job.
+        stream_holder = {}
+
+        def _start():
+            stream_holder["it"] = self.captioner.caption_stream(
+                image[None], [prompt or COCO_PROMPT],
+                max_length=gen.max_length, chunk_size=chunk,
+                do_sample=gen.do_sample, temperature=gen.temperature,
+                top_k=gen.top_k, top_p=gen.top_p, rng=rng,
+                min_length=gen.min_length,
+                repetition_penalty=gen.repetition_penalty,
+                no_repeat_ngram_size=gen.no_repeat_ngram_size)
+            return next(stream_holder["it"])
+
+        texts, done = self._batcher.submit_call(_start, timeout=timeout)
+        yield texts[0], done
+        while not done:
+            texts, done = self._batcher.submit_call(
+                lambda: next(stream_holder["it"]), timeout=timeout)
+            yield texts[0], done
 
     def close(self) -> None:
         self._batcher.close()
@@ -212,4 +271,12 @@ class CaptionService:
             self._finish_batch(self.default_params,
                                self._run_batch(self.default_params,
                                                payloads), payloads)
+        # One streaming pass (B=1, default chunk) compiles stream_init +
+        # stream_chunk so the first /caption_stream request doesn't pay
+        # the two extra XLA compiles either.
+        for _ in self.captioner.caption_stream(
+                dummy[None], [COCO_PROMPT],
+                max_length=self.default_params.max_length,
+                chunk_size=self.stream_chunk):
+            pass
         return buckets
