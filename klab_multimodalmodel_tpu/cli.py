@@ -137,17 +137,34 @@ def serve_main() -> None:
     p.add_argument("--stream_chunk", type=int, default=4,
                    help="default tokens per /caption_stream SSE event "
                         "(clients may override with chunk_size)")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="serve N single-chip replicas (one per device, "
+                        "least-loaded routing); throughput scales "
+                        "~linearly, latency stays single-chip")
     args = p.parse_args()
 
     from .serve.service import batch_buckets
 
     config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
-    service = CaptionService(config, params, tokenizer,
-                             max_batch=args.max_batch,
-                             window_ms=args.batch_window_ms,
-                             decode_int8=args.int8,
-                             max_gen_length=args.max_gen_length,
-                             stream_chunk=args.stream_chunk)
+    service_kw = dict(max_batch=args.max_batch,
+                      window_ms=args.batch_window_ms,
+                      decode_int8=args.int8,
+                      max_gen_length=args.max_gen_length,
+                      stream_chunk=args.stream_chunk)
+    if args.replicas > 1:
+        import jax
+
+        from .serve.replicas import ReplicatedCaptionService
+
+        devices = jax.devices()
+        if args.replicas > len(devices):
+            raise SystemExit(f"--replicas {args.replicas} > "
+                             f"{len(devices)} visible devices")
+        service = ReplicatedCaptionService(
+            config, params, tokenizer, devices[:args.replicas],
+            **service_kw)
+    else:
+        service = CaptionService(config, params, tokenizer, **service_kw)
     server = CaptionHTTPServer(service, host=args.host, port=args.port)
     n_buckets = 0 if args.no_warmup else len(batch_buckets(args.max_batch))
     print(f"klab-serve: listening on {args.host}:{server.port} "

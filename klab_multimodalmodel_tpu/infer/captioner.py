@@ -38,7 +38,7 @@ class Captioner:
 
     def __init__(self, config: Config, params: Any,
                  tokenizer: TokenizerBase, bucket_source: bool = True,
-                 decode_int8: bool = False):
+                 decode_int8: bool = False, device=None):
         if config.pipeline_stages > 1:
             # Incremental decode is a sequential KV-cache loop — nothing to
             # pipeline. Fold the stage axis back into the scanned-layer
@@ -68,6 +68,14 @@ class Captioner:
                 mesh_shape=_reset_pipe(config.mesh_shape),
                 dcn_mesh_shape=_reset_pipe(config.dcn_mesh_shape))
         self.config = config
+        # ``device``: pin this captioner to ONE device (replica serving,
+        # serve/replicas.py). Params commit to it here; inputs commit in
+        # ``_encode_prefill``; jit then compiles/executes per the committed
+        # placement, so N replicas on N chips never contend. None keeps
+        # JAX's default placement (single-device serving, training evals).
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
         self.tokenizer = tokenizer
         self.bucket_source = bucket_source
@@ -81,6 +89,9 @@ class Captioner:
             from .quantize import quantize_for_decode
 
             self._decode_params = quantize_for_decode(params["transformer"])
+            if device is not None:
+                self._decode_params = jax.device_put(self._decode_params,
+                                                     device)
         # The encode prefill MUST be jitted: an eager `model.apply` runs the
         # whole SwinV2+T5 encoder op-by-op (thousands of device dispatches —
         # measured 3.2 s/caption over a tunneled chip vs 39 ms compiled).
@@ -161,9 +172,13 @@ class Captioner:
             # policy as the train loop's --bucket_lengths; utils/bucketing).
             width = pow2_bucket_width(src_mask, 16)
             src_ids, src_mask = src_ids[:, :width], src_mask[:, :width]
-        images = normalize_images(jnp.asarray(images_uint8))
-        return self._encode(self.params, images, jnp.asarray(src_ids),
-                            jnp.asarray(src_mask))
+        def commit(x):
+            return (jnp.asarray(x) if self.device is None
+                    else jax.device_put(x, self.device))
+
+        images = normalize_images(commit(images_uint8))
+        return self._encode(self.params, images, commit(src_ids),
+                            commit(src_mask))
 
     def caption_stream(self, images_uint8: np.ndarray,
                        prompts: Optional[Sequence[str]] = None,

@@ -570,6 +570,18 @@ def stream_decode(model: T5ForConditionalGeneration, params: Any,
                         min_length, repetition_penalty,
                         no_repeat_ngram_size, rng)
     while True:
+        # Launch-ahead: enqueue the NEXT chunk before reading this one's
+        # tokens, so the device computes chunk k+1 while the host blocks
+        # on chunk k's read (JAX dispatch is asynchronous). Speculation is
+        # free at the end of the sequence: a chunk launched from a
+        # finished/at-max-length state exits its while_loop immediately
+        # (cond is false on entry), so the wasted work on the final yield
+        # is one no-op program. At most one chunk of real device work is
+        # wasted if the consumer abandons the generator mid-stream.
+        next_state = stream_chunk(
+            model, params, encoder_hidden, encoder_mask, max_length,
+            chunk_size, do_sample, temperature, top_k, top_p, min_length,
+            repetition_penalty, no_repeat_ngram_size, state, rng)
         # Host read of the token buffer = the only sync point per yield.
         tokens = np.asarray(state.tokens)
         step = int(state.step)
@@ -578,10 +590,7 @@ def stream_decode(model: T5ForConditionalGeneration, params: Any,
         yield tokens, step + 1, done
         if done:
             return
-        state = stream_chunk(model, params, encoder_hidden, encoder_mask,
-                             max_length, chunk_size, do_sample, temperature,
-                             top_k, top_p, min_length, repetition_penalty,
-                             no_repeat_ngram_size, state, rng)
+        state = next_state
 
 
 def generate(model: T5ForConditionalGeneration, params: Any,

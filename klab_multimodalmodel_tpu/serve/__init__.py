@@ -16,6 +16,8 @@ trained model into a production service the TPU-first way:
 """
 
 from .batcher import BatchStats, DynamicBatcher
+from .replicas import ReplicatedCaptionService
 from .service import CaptionService
 
-__all__ = ["BatchStats", "DynamicBatcher", "CaptionService"]
+__all__ = ["BatchStats", "DynamicBatcher", "CaptionService",
+           "ReplicatedCaptionService"]

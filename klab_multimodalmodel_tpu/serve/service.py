@@ -119,11 +119,14 @@ class CaptionService:
     def __init__(self, config: Config, params: Any,
                  tokenizer: TokenizerBase, max_batch: int = 8,
                  window_ms: float = 5.0, decode_int8: bool = False,
-                 max_gen_length: int = 128, stream_chunk: int = 4):
+                 max_gen_length: int = 128, stream_chunk: int = 4,
+                 device=None):
         self.config = config
         self.tokenizer = tokenizer
+        # ``device``: pin this service's model to one chip (replica
+        # scale-out, serve/replicas.py); None = default placement.
         self.captioner = Captioner(config, params, tokenizer,
-                                   decode_int8=decode_int8)
+                                   decode_int8=decode_int8, device=device)
         self.max_batch = max_batch
         # Default tokens-per-SSE-event for /caption_stream (the TTFB vs
         # dispatch-overhead knob; infer/generate.py:stream_decode).

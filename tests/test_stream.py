@@ -91,6 +91,18 @@ def test_stream_rejects_bad_chunk(tiny_t5):
         next(stream_decode(model, params, enc, None, 12, chunk_size=0))
 
 
+def test_stream_accepts_quantized_params(tiny_t5):
+    """Streaming under int8 weight-only decode (the `--int8 --stream_chunk`
+    serving combination) matches the monolithic int8 greedy loop."""
+    from klab_multimodalmodel_tpu.infer.quantize import quantize_for_decode
+
+    model, params, enc = tiny_t5
+    qp = quantize_for_decode(params, cast_dtype=None)
+    ref = np.asarray(greedy_decode(model, qp, enc, None, 12))
+    outs = list(stream_decode(model, qp, enc, None, 12, chunk_size=3))
+    assert np.array_equal(outs[-1][0], ref)
+
+
 # ---------------------------------------------------------------------------
 # DynamicBatcher.submit_call (model-free)
 # ---------------------------------------------------------------------------
