@@ -180,6 +180,22 @@ class Captioner:
         return self._encode(self.params, images, commit(src_ids),
                             commit(src_mask))
 
+    def encode_tokens(self, images_uint8: np.ndarray, src_ids: np.ndarray,
+                      src_mask: np.ndarray):
+        """Encoder prefill from ALREADY-tokenized prompts: normalize the
+        images on device and run the jitted encode at exactly the given
+        source width. The continuous-batching scheduler
+        (``serve/continuous.py``) uses this to keep its one fixed engine
+        source width (it trims/pads the token columns itself)."""
+
+        def commit(x):
+            return (jnp.asarray(x) if self.device is None
+                    else jax.device_put(x, self.device))
+
+        images = normalize_images(commit(images_uint8))
+        return self._encode(self.params, images, commit(src_ids),
+                            commit(src_mask))
+
     def caption_stream(self, images_uint8: np.ndarray,
                        prompts: Optional[Sequence[str]] = None,
                        max_length: Optional[int] = None,

@@ -1,0 +1,284 @@
+"""Continuous-batching decode engine (slot-based, JetStream-style).
+
+The serving batchers in ``serve/batcher.py`` dispatch whole requests
+together: a request arriving while a batch decodes waits for that batch's
+full ~``max_length``-step loop. This engine removes that wait the TPU-native
+way — ONE resident decode batch of ``slots`` rows stays on the device, every
+row at its own position (per-row ``cache_index`` leaves + per-row
+relative-position bias rows, ``models/t5.py:decode_step``), and requests
+join/leave at chunk boundaries:
+
+  * ``prefill``  — ``generate.stream_init`` on the encoder output (the same
+    math as step 0/1 of ``greedy_decode``), batched over arrivals;
+  * ``insert``   — a jitted pytree write of prefill row ``j`` into slot
+    ``i`` of the resident state (one dynamic-update-slice per cache leaf
+    on the batch axis — the KV cache is data, not control flow);
+  * ``tick``     — a jitted ``lax.while_loop`` advancing every live row by
+    up to ``chunk`` tokens (inert rows ride along masked: token writes are
+    write-backs, their clamped cache writes land in rows whose outputs are
+    never read);
+  * ``reap``     — rows that emitted eos or hit ``max_length`` free their
+    slot at the next chunk boundary.
+
+Token-exactness: a row's decode is bit-identical to ``greedy_decode`` on
+the same encoder rows — same ``_select_next`` chain, same cache writes at
+the same positions; other slots never enter its attention (each row attends
+only its own cache row). ``tests/test_engine.py`` pins interleaved-arrival
+parity against per-request ``greedy_decode``.
+
+Greedy only (the reference's generation config): sampling needs a
+per-request RNG stream inside a shared batch and beams need per-row widths;
+both route to the dynamic batcher instead (``serve/``).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.t5 import T5ForConditionalGeneration
+from .generate import StreamState, _select_next, _step, stream_init
+
+
+class EngineState(NamedTuple):
+    """Resident device state of the continuous decode batch.
+
+    ``steps[i]`` counts tokens generated so far in slot ``i`` (positions
+    ``0..steps[i]`` of ``tokens[i]`` are valid); ``cache`` carries per-row
+    ``cache_index`` leaves of shape (layers, slots) instead of the scalar
+    (layers,) of the monolithic loops; ``enc``/``enc_mask`` are the
+    per-slot encoder context the cross-attention cache was built from
+    (kept resident so inserts are row writes, not re-encodes).
+    """
+
+    steps: jax.Array       # (S,) int32
+    tokens: jax.Array      # (S, max_length) int32
+    cache: Any             # pytree; batch axis 1 under the stacked layer axis
+    finished: jax.Array    # (S,) bool — row emitted eos
+    enc: jax.Array         # (S, W, d_model)
+    enc_mask: jax.Array    # (S, W) int32
+
+
+def _broadcast_cache_index(cache: Any, n_slots: int) -> Any:
+    """(layers,) scalar cache_index leaves -> (layers, slots) per-row."""
+
+    def fix(path, leaf):
+        if getattr(path[-1], "key", None) == "cache_index":
+            return jnp.broadcast_to(leaf[:, None], (leaf.shape[0], n_slots))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, cache)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9), donate_argnums=(2,))
+def _engine_tick(model: T5ForConditionalGeneration, params: Any,
+                 state: EngineState, max_length: int, chunk: int,
+                 active: jax.Array, row_max: jax.Array, min_length: int = 0,
+                 repetition_penalty: float = 1.0,
+                 no_repeat_ngram_size: int = 0) -> EngineState:
+    """Advance every live row by up to ``chunk`` greedy tokens.
+
+    ``active`` (S,) marks occupied slots (host-managed); ``row_max`` (S,)
+    is each request's own max_length (<= the engine buffer ``max_length``).
+    A row is *running* while active, unfinished, and below its
+    ``row_max - 1``. Non-running rows still flow through the batched step
+    (no dynamic shapes) but their token writes are write-backs and their
+    outputs are never reaped.
+    """
+    size = model.size
+    S, L = state.tokens.shape
+
+    def running_of(steps, finished):
+        return jnp.logical_and(
+            active, jnp.logical_and(~finished, steps < row_max - 1))
+
+    def body(carry):
+        n, steps, tokens, cache, finished = carry
+        running = running_of(steps, finished)
+        cur = jnp.take_along_axis(tokens, steps[:, None], axis=1)  # (S, 1)
+        logits, cache = _step(model, params, cache, cur, steps,
+                              state.enc, state.enc_mask, max_length)
+        nxt = _select_next(logits, tokens, steps, size, ~running, False,
+                           1.0, 0, 1.0, min_length, repetition_penalty,
+                           no_repeat_ngram_size, None)
+        # Write at steps+1 for running rows; inert rows write their old
+        # value back (put_along_axis always writes, so this is the mask).
+        pos = jnp.clip(steps + 1, 0, L - 1)[:, None]               # (S, 1)
+        old = jnp.take_along_axis(tokens, pos, axis=1)[:, 0]
+        val = jnp.where(running, nxt, old)
+        tokens = jnp.put_along_axis(tokens, pos, val[:, None], axis=1,
+                                    inplace=False)
+        finished = jnp.logical_or(
+            finished, jnp.logical_and(running, nxt == size.eos_token_id))
+        steps = steps + running.astype(jnp.int32)
+        return n + 1, steps, tokens, cache, finished
+
+    def cond(carry):
+        n, steps, _, _, finished = carry
+        return jnp.logical_and(n < chunk,
+                               jnp.any(running_of(steps, finished)))
+
+    init = (jnp.asarray(0, jnp.int32), state.steps, state.tokens,
+            state.cache, state.finished)
+    _, steps, tokens, cache, finished = jax.lax.while_loop(cond, body, init)
+    return EngineState(steps, tokens, cache, finished, state.enc,
+                       state.enc_mask)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _engine_insert(state: EngineState, pre: StreamState, enc: jax.Array,
+                   enc_mask: jax.Array, j: jax.Array,
+                   slot: jax.Array) -> EngineState:
+    """Write prefill row ``j`` (of a W-row ``stream_init`` batch) into
+    engine slot ``slot``: one dynamic-update-slice per leaf on the batch
+    axis. ``enc``/``enc_mask`` must already be at the engine's source
+    width (the cross-attention cache inside ``pre`` was built from them).
+    """
+
+    def cache_insert(e, p):
+        if p.ndim == e.ndim:
+            # K/V leaves: engine (layers, S, ...) <- prefill (layers, W, ...)
+            row = jax.lax.dynamic_slice_in_dim(p, j, 1, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(e, row, slot, axis=1)
+        # cache_index: engine (layers, S) <- prefill (layers,) — every
+        # prefill row sits at the same position (the prompt length).
+        return jax.lax.dynamic_update_slice_in_dim(
+            e, p[:, None], slot, axis=1)
+
+    def row_insert(e, p):
+        row = jax.lax.dynamic_slice_in_dim(p, j, 1, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(e, row, slot, axis=0)
+
+    cache = jax.tree.map(cache_insert, state.cache, pre.cache)
+    tokens = row_insert(state.tokens, pre.tokens)
+    steps = jax.lax.dynamic_update_slice_in_dim(
+        state.steps, jnp.broadcast_to(pre.step, (1,)).astype(jnp.int32),
+        slot, axis=0)
+    finished = jax.lax.dynamic_update_slice_in_dim(
+        state.finished, jax.lax.dynamic_slice_in_dim(pre.finished, j, 1),
+        slot, axis=0)
+    enc_new = row_insert(state.enc, enc.astype(state.enc.dtype))
+    mask_new = row_insert(state.enc_mask,
+                          enc_mask.astype(state.enc_mask.dtype))
+    return EngineState(steps, tokens, cache, finished, enc_new, mask_new)
+
+
+class DecodeEngine:
+    """Host-side slot manager over the jitted tick/insert/prefill.
+
+    Single-owner: one thread drives ``submit``/``run_pending``; the serving
+    scheduler (``serve/continuous.py``) wraps it behind a queue. All device
+    programs have static shapes — ``slots``, ``max_length``, the engine
+    source width, and the pow2 prefill-batch buckets bound the compiled-
+    program set.
+    """
+
+    def __init__(self, model: T5ForConditionalGeneration, params: Any,
+                 slots: int, source_width: int, d_model: int,
+                 max_length: int, chunk: int = 4,
+                 enc_dtype=jnp.float32, min_length: int = 0,
+                 repetition_penalty: float = 1.0,
+                 no_repeat_ngram_size: int = 0):
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        self.model = model
+        self.params = params
+        self.slots = slots
+        self.source_width = source_width
+        self.max_length = max_length
+        self.chunk = chunk
+        self.gen = (min_length, repetition_penalty, no_repeat_ngram_size)
+        size = model.size
+        # Build the resident state by priming a zero batch: same structure
+        # as a real prefill, with the index leaves widened to per-row.
+        # Ones mask for the empty slots: an all-masked cross-attention row
+        # softmaxes over all -inf -> NaN; NaNs in dead rows are never read
+        # but would trip --debug_nans, so keep empty rows finite.
+        enc0 = jnp.zeros((slots, source_width, d_model), enc_dtype)
+        mask0 = jnp.ones((slots, source_width), jnp.int32)
+        pre = stream_init(model, params, enc0, mask0, max_length)
+        self.state = EngineState(
+            steps=jnp.zeros((slots,), jnp.int32),
+            tokens=jnp.full((slots, max_length), size.pad_token_id,
+                            jnp.int32),
+            cache=_broadcast_cache_index(pre.cache, slots),
+            finished=jnp.zeros((slots,), bool),
+            enc=enc0, enc_mask=mask0)
+        self.active = np.zeros((slots,), bool)
+        # Per-slot request max_length (<= the engine buffer max_length).
+        self.row_max = np.full((slots,), max_length, np.int32)
+        # slot -> opaque request tag (set by submit, returned by reap).
+        self._tags: list[Any] = [None] * slots
+
+    # -- slot management ---------------------------------------------------
+    def free_slots(self) -> int:
+        return int((~self.active).sum())
+
+    def has_live(self) -> bool:
+        return bool(self.active.any())
+
+    def prefill(self, enc: jax.Array, enc_mask: jax.Array) -> StreamState:
+        """Prime a W-row arrival batch (encoder outputs at the engine
+        source width) — positions 0 (decoder start) and 1 filled."""
+        if enc.shape[1] != self.source_width:
+            raise ValueError(
+                f"prefill width {enc.shape[1]} != engine source width "
+                f"{self.source_width}")
+        ml, rp, nr = self.gen
+        return stream_init(self.model, self.params, enc, enc_mask,
+                           self.max_length, False, 1.0, 0, 1.0, ml, rp, nr)
+
+    def insert(self, pre: StreamState, enc: jax.Array, enc_mask: jax.Array,
+               j: int, tag: Any,
+               max_length: Optional[int] = None) -> int:
+        """Insert prefill row ``j`` into a free slot; returns the slot."""
+        free = np.flatnonzero(~self.active)
+        if free.size == 0:
+            raise RuntimeError("no free slot")
+        m = self.max_length if max_length is None else int(max_length)
+        if not 1 <= m <= self.max_length:
+            raise ValueError(f"max_length must be in [1, {self.max_length}]"
+                             f", got {m}")
+        slot = int(free[0])
+        self.state = _engine_insert(self.state, pre, enc, enc_mask,
+                                    jnp.asarray(j, jnp.int32),
+                                    jnp.asarray(slot, jnp.int32))
+        self.active[slot] = True
+        self.row_max[slot] = m
+        self._tags[slot] = tag
+        return slot
+
+    def tick(self) -> None:
+        """Advance all live rows by up to ``chunk`` tokens (device work)."""
+        ml, rp, nr = self.gen
+        self.state = _engine_tick(self.model, self.params, self.state,
+                                  self.max_length, self.chunk,
+                                  jnp.asarray(self.active),
+                                  jnp.asarray(self.row_max), ml, rp, nr)
+
+    def reap(self) -> list[tuple[Any, np.ndarray, int]]:
+        """Collect finished rows: [(tag, token_row, n_valid)]; frees slots.
+
+        One host sync per call (reads the whole small flag/token state).
+        """
+        if not self.active.any():
+            return []
+        steps = np.asarray(self.state.steps)
+        finished = np.asarray(self.state.finished)
+        done = self.active & (finished | (steps >= self.row_max - 1))
+        if not done.any():
+            return []
+        tokens = np.asarray(self.state.tokens)
+        out = []
+        for slot in np.flatnonzero(done):
+            slot = int(slot)
+            out.append((self._tags[slot], tokens[slot].copy(),
+                        int(steps[slot]) + 1))
+            self.active[slot] = False
+            self._tags[slot] = None
+        return out

@@ -338,8 +338,10 @@ def process_logits(logits: jax.Array, tokens: jax.Array, step: jax.Array,
 
     ``tokens`` is the fixed-shape (B, max_length) decode buffer whose
     positions ``0..step`` hold the decoder prefix (HF's ``input_ids``,
-    ``cur_len = step + 1``); later positions hold pad filler. Semantics
-    bit-match HF on fp32 scores:
+    ``cur_len = step + 1``); later positions hold pad filler. ``step`` may
+    be a scalar (all rows at the same position) or a (B,) vector (the
+    continuous-batching engine, where every row decodes at its own
+    position). Semantics bit-match HF on fp32 scores:
 
     - ``RepetitionPenaltyLogitsProcessor``: every token id present in the
       prefix has its score divided by the penalty if positive, multiplied
@@ -356,9 +358,13 @@ def process_logits(logits: jax.Array, tokens: jax.Array, step: jax.Array,
     neg_inf = jnp.float32(-jnp.inf)
     B, L = tokens.shape
     V = logits.shape[-1]
+    # Normalize to a per-row (B, 1) step column: scalar steps broadcast to
+    # it losslessly, and vector steps (continuous batching) come through
+    # with identical per-row semantics.
+    step_col = jnp.broadcast_to(jnp.asarray(step), (B,))[:, None]
 
     if repetition_penalty != 1.0:
-        valid = jnp.arange(L)[None, :] <= step           # (1, L)
+        valid = jnp.arange(L)[None, :] <= step_col       # (B, L)
         seen = jnp.where(valid, tokens, tokens[:, :1])   # filler -> start tok
         present = jax.vmap(
             lambda t: jnp.zeros((V,), jnp.bool_).at[t].set(True))(seen)
@@ -375,19 +381,19 @@ def process_logits(logits: jax.Array, tokens: jax.Array, step: jax.Array,
         win_idx = jnp.arange(L)[:, None] + jnp.arange(n - 1)[None, :]
         win_idx = jnp.clip(win_idx, 0, L - 1)
         windows = tokens[:, win_idx]                     # (B, L, n-1)
-        suf_pos = jnp.clip(step - (n - 2) + jnp.arange(n - 1), 0, L - 1)
-        suffix = jnp.take_along_axis(
-            tokens, jnp.broadcast_to(suf_pos[None, :], (B, n - 1)), axis=1)
+        suf_pos = jnp.clip(step_col - (n - 2) + jnp.arange(n - 1)[None, :],
+                           0, L - 1)                     # (B, n-1)
+        suffix = jnp.take_along_axis(tokens, suf_pos, axis=1)
         match = jnp.all(windows == suffix[:, None, :], axis=-1)  # (B, L)
-        valid_t = (jnp.arange(L) + n - 1) <= step
-        hit = jnp.logical_and(match, valid_t[None, :])
+        valid_t = (jnp.arange(L)[None, :] + n - 1) <= step_col   # (B, L)
+        hit = jnp.logical_and(match, valid_t)
         banned_tok = tokens[:, jnp.clip(jnp.arange(L) + n - 1, 0, L - 1)]
         ban = jax.vmap(lambda bt, m: jnp.zeros(
             (V,), jnp.bool_).at[bt].max(m))(banned_tok, hit)
         logits = jnp.where(ban, neg_inf, logits)
 
     if min_length and min_length > 0:
-        mask_eos = (step + 1) < min_length
+        mask_eos = (step_col + 1) < min_length           # (B, 1)
         eos_col = jnp.arange(V)[None, :] == eos_token_id
         logits = jnp.where(jnp.logical_and(mask_eos, eos_col), neg_inf,
                            logits)

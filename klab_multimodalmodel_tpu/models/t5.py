@@ -232,10 +232,25 @@ class T5Attention(nn.Module):
                 idx = self.variable(
                     "cache", "cache_index", lambda: jnp.array(0, jnp.int32))
                 i = idx.value
-                ck.value = jax.lax.dynamic_update_slice(
-                    ck.value, k.astype(self.dtype), (0, 0, i, 0))
-                cv.value = jax.lax.dynamic_update_slice(
-                    cv.value, v.astype(self.dtype), (0, 0, i, 0))
+                if i.ndim == 0:
+                    ck.value = jax.lax.dynamic_update_slice(
+                        ck.value, k.astype(self.dtype), (0, 0, i, 0))
+                    cv.value = jax.lax.dynamic_update_slice(
+                        cv.value, v.astype(self.dtype), (0, 0, i, 0))
+                    q_pos = (i + jnp.arange(x.shape[1]))[None, None, :, None]
+                else:
+                    # Per-row cache index (continuous batching,
+                    # infer/engine.py): every batch row sits at its own
+                    # decode position. One vmapped dynamic-update-slice
+                    # per tensor (lowers to a scatter); the validity mask
+                    # becomes per-row.
+                    write = jax.vmap(
+                        lambda c, kk, ii: jax.lax.dynamic_update_slice(
+                            c, kk, (0, ii, 0)))
+                    ck.value = write(ck.value, k.astype(self.dtype), i)
+                    cv.value = write(cv.value, v.astype(self.dtype), i)
+                    q_pos = (i[:, None]
+                             + jnp.arange(x.shape[1]))[:, None, :, None]
                 idx.value = i + x.shape[1]
                 k, v = ck.value, cv.value
                 # Mask out cache slots that have not been written yet —
@@ -243,7 +258,6 @@ class T5Attention(nn.Module):
                 # and index bump above support one) sees positions
                 # i..i+j for its j-th query, not just i.
                 pos = jnp.arange(max_len)[None, None, None, :]
-                q_pos = (i + jnp.arange(x.shape[1]))[None, None, :, None]
                 valid = pos <= q_pos
                 step_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
                 bias = step_bias if bias is None else bias + step_bias
@@ -418,7 +432,12 @@ def _assemble_dense_biases(head_bias, kmask, enc_out, cross_kmask, B, L):
     the cross-attention key-mask bias (see T5Stack docstring). One copy,
     shared by T5Stack and the pipelined _StageBlocks — the two paths are
     asserted bit-identical by tests/test_pipeline_parallel.py."""
-    self_bias = head_bias[None] if head_bias is not None else None
+    self_bias = None
+    if head_bias is not None:
+        # (H, Q, K) shared across rows -> broadcast; (B, H, Q, K) already
+        # per-row (continuous-batching decode, where each row's relative
+        # -position slice differs).
+        self_bias = head_bias if head_bias.ndim == 4 else head_bias[None]
     mask_bias = _mask_to_bias(kmask, B, L)
     if mask_bias is not None:
         self_bias = mask_bias if self_bias is None else self_bias + mask_bias
@@ -1044,13 +1063,24 @@ class T5ForConditionalGeneration(nn.Module):
         ``decoder_input_token`` is (B, T) starting at cache position
         ``step`` — T = 1 for the generation loop, T > 1 for prompt prefill
         (the cache's per-query validity mask keeps the chunk causal).
+        ``step`` may be a scalar (all rows at the same position — the
+        generate.py loops) or a (B,) vector (every row at its own position
+        — the continuous-batching engine, whose cache then carries per-row
+        ``cache_index`` leaves; see ``infer/engine.py``).
         Returns (B, T, vocab) logits.
         """
         dec_embeds = self.shared(decoder_input_token)
         # Bias rows for the chunk's positions against the full cache length.
         full_bias = self.dec_relpos(max_decode_len, max_decode_len)[0]
-        head_bias = jax.lax.dynamic_slice_in_dim(
-            full_bias, step, decoder_input_token.shape[1], axis=1)
+        T = decoder_input_token.shape[1]
+        step = jnp.asarray(step)
+        if step.ndim == 0:
+            head_bias = jax.lax.dynamic_slice_in_dim(
+                full_bias, step, T, axis=1)
+        else:
+            head_bias = jax.vmap(
+                lambda st: jax.lax.dynamic_slice_in_dim(
+                    full_bias, st, T, axis=1))(step)
         hidden, _ = self._split_aux(self.decoder(
             dec_embeds, head_bias=head_bias,
             enc_out=encoder_hidden,
