@@ -141,7 +141,20 @@ def serve_main() -> None:
                    help="serve N single-chip replicas (one per device, "
                         "least-loaded routing); throughput scales "
                         "~linearly, latency stays single-chip")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching for the greedy default path "
+                        "(serve/continuous.py): a resident decode batch "
+                        "requests join/leave mid-flight; beams/sampling "
+                        "fall back to the dynamic batcher")
+    p.add_argument("--slots", type=int, default=16,
+                   help="resident decode-batch rows for --continuous")
+    p.add_argument("--engine_chunk", type=int, default=4,
+                   help="decode steps between admission/reap boundaries "
+                        "for --continuous")
     args = p.parse_args()
+    if args.continuous and args.replicas > 1:
+        raise SystemExit("--continuous with --replicas is not supported "
+                         "yet; pick one scale-out mode")
 
     from .serve.service import batch_buckets
 
@@ -163,6 +176,12 @@ def serve_main() -> None:
         service = ReplicatedCaptionService(
             config, params, tokenizer, devices[:args.replicas],
             **service_kw)
+    elif args.continuous:
+        from .serve.continuous import ContinuousCaptionService
+
+        service = ContinuousCaptionService(
+            config, params, tokenizer, slots=args.slots,
+            engine_chunk=args.engine_chunk, **service_kw)
     else:
         service = CaptionService(config, params, tokenizer, **service_kw)
     server = CaptionHTTPServer(service, host=args.host, port=args.port)

@@ -80,7 +80,8 @@ def _engine_tick(model: T5ForConditionalGeneration, params: Any,
                  state: EngineState, max_length: int, chunk: int,
                  active: jax.Array, row_max: jax.Array, min_length: int = 0,
                  repetition_penalty: float = 1.0,
-                 no_repeat_ngram_size: int = 0) -> EngineState:
+                 no_repeat_ngram_size: int = 0
+                 ) -> tuple[EngineState, jax.Array]:
     """Advance every live row by up to ``chunk`` greedy tokens.
 
     ``active`` (S,) marks occupied slots (host-managed); ``row_max`` (S,)
@@ -89,6 +90,12 @@ def _engine_tick(model: T5ForConditionalGeneration, params: Any,
     ``row_max - 1``. Non-running rows still flow through the batched step
     (no dynamic shapes) but their token writes are write-backs and their
     outputs are never reaped.
+
+    Returns ``(state, flags)`` where ``flags`` is a (2, S) int32 pack of
+    (steps, finished): the host decides which rows to reap from ONE small
+    transfer instead of one per leaf — on a network-tunneled device each
+    device->host read costs a full RTT (~20 ms measured), and reap runs
+    every chunk boundary, so the fetch count IS the serving latency.
     """
     size = model.size
     S, L = state.tokens.shape
@@ -126,8 +133,9 @@ def _engine_tick(model: T5ForConditionalGeneration, params: Any,
     init = (jnp.asarray(0, jnp.int32), state.steps, state.tokens,
             state.cache, state.finished)
     _, steps, tokens, cache, finished = jax.lax.while_loop(cond, body, init)
+    flags = jnp.stack([steps, finished.astype(jnp.int32)], axis=0)
     return EngineState(steps, tokens, cache, finished, state.enc,
-                       state.enc_mask)
+                       state.enc_mask), flags
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -214,6 +222,10 @@ class DecodeEngine:
         self.row_max = np.full((slots,), max_length, np.int32)
         # slot -> opaque request tag (set by submit, returned by reap).
         self._tags: list[Any] = [None] * slots
+        # (flags array, active snapshot) from the last tick — reap reads
+        # these instead of the state leaves (one fetch, see _engine_tick).
+        self._flags: Optional[jax.Array] = None
+        self._flags_active: Optional[np.ndarray] = None
 
     # -- slot management ---------------------------------------------------
     def free_slots(self) -> int:
@@ -254,23 +266,43 @@ class DecodeEngine:
         return slot
 
     def tick(self) -> None:
-        """Advance all live rows by up to ``chunk`` tokens (device work)."""
+        """Advance all live rows by up to ``chunk`` tokens (device work).
+
+        Dispatch is async: this returns once the program is enqueued, and
+        the packed reap flags start copying to the host immediately — the
+        caller can do admission/encode work while both are in flight.
+        """
         ml, rp, nr = self.gen
-        self.state = _engine_tick(self.model, self.params, self.state,
-                                  self.max_length, self.chunk,
-                                  jnp.asarray(self.active),
-                                  jnp.asarray(self.row_max), ml, rp, nr)
+        self.state, flags = _engine_tick(
+            self.model, self.params, self.state, self.max_length,
+            self.chunk, jnp.asarray(self.active),
+            jnp.asarray(self.row_max), ml, rp, nr)
+        flags.copy_to_host_async()
+        self._flags = flags
+        # Reap must only trust flag rows for slots that were live at
+        # dispatch: a slot admitted AFTER this tick carries stale flags
+        # (its row in `flags` is whatever the previous occupant left).
+        self._flags_active = self.active.copy()
 
     def reap(self) -> list[tuple[Any, np.ndarray, int]]:
         """Collect finished rows: [(tag, token_row, n_valid)]; frees slots.
 
-        One host sync per call (reads the whole small flag/token state).
+        One host sync for the packed (steps, finished) flags; the token
+        buffer is only fetched when some row actually completed (each
+        device->host read is a tunnel RTT — see _engine_tick).
         """
         if not self.active.any():
             return []
-        steps = np.asarray(self.state.steps)
-        finished = np.asarray(self.state.finished)
-        done = self.active & (finished | (steps >= self.row_max - 1))
+        if self._flags is not None:
+            f = np.asarray(self._flags)
+            live = self._flags_active
+        else:  # no tick since the last insert — pack on device, one fetch
+            f = np.asarray(jnp.stack(
+                [self.state.steps, self.state.finished.astype(jnp.int32)],
+                axis=0))
+            live = self.active
+        steps, finished = f[0], f[1].astype(bool)
+        done = live & self.active & (finished | (steps >= self.row_max - 1))
         if not done.any():
             return []
         tokens = np.asarray(self.state.tokens)

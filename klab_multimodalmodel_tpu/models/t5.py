@@ -241,14 +241,28 @@ class T5Attention(nn.Module):
                 else:
                     # Per-row cache index (continuous batching,
                     # infer/engine.py): every batch row sits at its own
-                    # decode position. One vmapped dynamic-update-slice
-                    # per tensor (lowers to a scatter); the validity mask
-                    # becomes per-row.
-                    write = jax.vmap(
-                        lambda c, kk, ii: jax.lax.dynamic_update_slice(
-                            c, kk, (0, ii, 0)))
-                    ck.value = write(ck.value, k.astype(self.dtype), i)
-                    cv.value = write(cv.value, v.astype(self.dtype), i)
+                    # decode position. A vmapped dynamic-update-slice
+                    # would lower to an XLA scatter — slow on TPU — so
+                    # the write is a dense one-hot blend instead: exact
+                    # (the mask is 0/1, so kept lanes are x*1+0 and
+                    # written lanes are 0+k*1, both bit-identical), fully
+                    # vectorized, and O(B·H·L·D) elementwise — trivial at
+                    # decode cache sizes. Rows whose index has drifted
+                    # past L (inert slots) write nothing at all.
+                    T = x.shape[1]
+                    # onehot[b, t, l] = 1 where l == i[b] + t
+                    l_pos = jnp.arange(max_len)[None, None, :]
+                    tgt = (i[:, None] + jnp.arange(T))[:, :, None]
+                    onehot = (l_pos == tgt).astype(self.dtype)  # (B, T, L)
+                    keep = (1.0 - onehot.sum(axis=1))[:, None, :, None]
+
+                    def blend(cache_val, new):
+                        upd = jnp.einsum("bhtd,btl->bhld",
+                                         new.astype(self.dtype), onehot)
+                        return cache_val * keep.astype(self.dtype) + upd
+
+                    ck.value = blend(ck.value, k)
+                    cv.value = blend(cv.value, v)
                     q_pos = (i[:, None]
                              + jnp.arange(x.shape[1]))[:, None, :, None]
                 idx.value = i + x.shape[1]

@@ -16,8 +16,9 @@ trained model into a production service the TPU-first way:
 """
 
 from .batcher import BatchStats, DynamicBatcher
+from .continuous import ContinuousCaptionService
 from .replicas import ReplicatedCaptionService
 from .service import CaptionService
 
 __all__ = ["BatchStats", "DynamicBatcher", "CaptionService",
-           "ReplicatedCaptionService"]
+           "ContinuousCaptionService", "ReplicatedCaptionService"]

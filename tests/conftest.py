@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+# Private per-session compile cache: train() enables the persistent XLA
+# cache (utils/cache.py), and sharing ~/.jax_cache with a concurrently
+# running training/bench process has produced a corrupted entry whose
+# zstd read segfaults the whole pytest process. Tests get their own dir.
+if "KLAB_COMPILE_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["KLAB_COMPILE_CACHE"] = tempfile.mkdtemp(
+        prefix="klab_test_jax_cache_")
 
 # Unit tests must run on the virtual CPU mesh — fp32 golden comparisons are
 # meaningless on a chip's bf16 matmul passes. The outer environment both pins

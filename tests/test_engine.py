@@ -159,6 +159,25 @@ def test_engine_per_row_max_length(setup, rng):
     assert (row[short:] == model.size.pad_token_id).all()
 
 
+def test_engine_int8_params_match_int8_greedy(setup, rng):
+    """The engine accepts QuantizedParams (serve --continuous --int8):
+    slot decode bit-matches the monolithic int8 greedy loop."""
+    from klab_multimodalmodel_tpu.infer.quantize import quantize_for_decode
+
+    model, params = setup
+    qp = quantize_for_decode(params)
+    (enc, mask, _), = _requests(model, params, rng, 1)
+    ref = np.asarray(greedy_decode(model, qp, enc, mask, MAX_LEN))
+    engine = DecodeEngine(model, qp, slots=2, source_width=SRC_W,
+                          d_model=TINY.d_model, max_length=MAX_LEN, chunk=3,
+                          enc_dtype=enc.dtype)
+    pre = engine.prefill(enc, mask)
+    engine.insert(pre, enc, mask, 0, tag="q")
+    results = {}
+    _drain(engine, results)
+    np.testing.assert_array_equal(results["q"][0], ref[0])
+
+
 def test_engine_insert_rejects_bad_width_and_max(setup, rng):
     model, params = setup
     (enc, mask, _), = _requests(model, params, rng, 1)

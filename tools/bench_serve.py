@@ -102,6 +102,14 @@ def main() -> None:
                          "of the in-process service")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only decode (infer/quantize.py)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous-batching service (serve/continuous.py) "
+                         "instead of the dynamic batcher")
+    ap.add_argument("--slots", type=int, default=16,
+                    help="resident decode-batch rows for --continuous")
+    ap.add_argument("--engine_chunk", type=int, default=4,
+                    help="decode steps per admission/reap boundary for "
+                         "--continuous")
     args = ap.parse_args()
 
     import jax
@@ -129,10 +137,19 @@ def main() -> None:
         source_mask=jnp.ones((1, 64), jnp.int32))["params"]
     tokenizer = ByteTokenizer(vocab_size=cfg.transformer_t5.vocab_size)
 
-    service = CaptionService(cfg, params, tokenizer,
-                             max_batch=args.max_batch,
-                             window_ms=args.window_ms,
-                             decode_int8=args.int8)
+    if args.continuous:
+        from klab_multimodalmodel_tpu.serve.continuous import (
+            ContinuousCaptionService)
+
+        service = ContinuousCaptionService(
+            cfg, params, tokenizer, max_batch=args.max_batch,
+            window_ms=args.window_ms, decode_int8=args.int8,
+            slots=args.slots, engine_chunk=args.engine_chunk)
+    else:
+        service = CaptionService(cfg, params, tokenizer,
+                                 max_batch=args.max_batch,
+                                 window_ms=args.window_ms,
+                                 decode_int8=args.int8)
     print(f"warmup (buckets 1..{args.max_batch}, "
           f"max_length={args.max_length})...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -173,6 +190,9 @@ def main() -> None:
         r["mean_batch_occupancy"] = round(
             d_rows / d_batches if d_batches else 0.0, 2)
         r["transport"] = "http" if args.http else "inproc"
+        if args.continuous:
+            r["mode"] = f"continuous(slots={args.slots}," \
+                        f"chunk={args.engine_chunk})"
         results.append(r)
         print(json.dumps(r))
 
