@@ -40,15 +40,24 @@ def _t(w: np.ndarray) -> np.ndarray:
     return w.T
 
 
+def _gated(size: T5Size) -> bool:
+    return size.feed_forward_proj.startswith("gated-")
+
+
 # ---------------------------------------------------------------------------
 # T5
 # ---------------------------------------------------------------------------
 
 
 def _t5_stack_params(sd: Mapping[str, Any], prefix: str, num_layers: int,
-                     is_decoder: bool) -> Params:
-    """Convert one HF T5Stack (encoder or decoder) into scanned-stack params."""
+                     is_decoder: bool, gated: bool = False) -> Params:
+    """Convert one HF T5Stack (encoder or decoder) into scanned-stack params.
+
+    ``gated``: v1.1/Flan MLPs — HF keeps the attribute name
+    ``DenseReluDense`` but the gated module's projections are
+    ``wi_0``/``wi_1`` instead of ``wi``."""
     ff_idx = 2 if is_decoder else 1
+    mlp_proj = ("wi_0", "wi_1", "wo") if gated else ("wi", "wo")
     block: Params = {
         "ln_self": {"weight": _stack(
             sd, prefix + ".block.{i}.layer.0.layer_norm.weight", num_layers)},
@@ -66,7 +75,7 @@ def _t5_stack_params(sd: Mapping[str, Any], prefix: str, num_layers: int,
                 sd,
                 prefix + f".block.{{i}}.layer.{ff_idx}.DenseReluDense.%s.weight" % p,
                 num_layers, _t)}
-            for p in ("wi", "wo")
+            for p in mlp_proj
         },
     }
     if is_decoder:
@@ -95,9 +104,10 @@ def convert_t5_lm(sd: Mapping[str, Any], size: T5Size) -> Params:
         "dec_relpos_bias": {"embedding": _np(
             sd["decoder.block.0.layer.0.SelfAttention"
                ".relative_attention_bias.weight"])},
-        "encoder": _t5_stack_params(sd, "encoder", size.num_layers, False),
+        "encoder": _t5_stack_params(sd, "encoder", size.num_layers, False,
+                                    gated=_gated(size)),
         "decoder": _t5_stack_params(sd, "decoder", size.num_decoder_layers,
-                                    True),
+                                    True, gated=_gated(size)),
     }
     if not size.tie_word_embeddings:
         params["lm_head"] = {"kernel": _t(_np(sd["lm_head.weight"]))}
@@ -111,7 +121,8 @@ def convert_t5_encoder(sd: Mapping[str, Any], size: T5Size) -> Params:
         "relpos_bias": {"embedding": _np(
             sd["encoder.block.0.layer.0.SelfAttention"
                ".relative_attention_bias.weight"])},
-        "encoder": _t5_stack_params(sd, "encoder", size.num_layers, False),
+        "encoder": _t5_stack_params(sd, "encoder", size.num_layers, False,
+                                    gated=_gated(size)),
     }
 
 

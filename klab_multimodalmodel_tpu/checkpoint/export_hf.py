@@ -51,7 +51,10 @@ def _unstack_t5_stack(stack: Params, prefix: str, num_layers: int,
                     block["EncDecAttention"][p]["kernel"][i])
         out[f"{b}.{ff_idx}.layer_norm.weight"] = _np(
             block["ln_mlp"]["weight"][i])
-        for p in ("wi", "wo"):
+        # v1.1/Flan gated MLPs carry wi_0/wi_1 instead of wi; read whatever
+        # the params actually hold (HF's attribute is DenseReluDense either
+        # way).
+        for p in sorted(block["mlp"]):
             out[f"{b}.{ff_idx}.DenseReluDense.{p}.weight"] = _t(
                 block["mlp"][p]["kernel"][i])
     out[f"{prefix}.final_layer_norm.weight"] = _np(

@@ -3,7 +3,7 @@ without a checkout.
 
 ``klab-train``: same surface as the repo-root ``train.py`` (flag-compatible
 with the reference's ``/root/reference/train.py:108-109``).
-``klab-eval``: CIDEr-D / BLEU-4 caption evaluation of a trained run over
+``klab-eval``: CIDEr-D / BLEU-1..4 / ROUGE-L caption evaluation of a trained run over
 COCO val (fills the reference's evaluation gap — it only eyeballs one
 caption in ``visualization.ipynb`` cell 8).
 ``klab-caption``: the reference's inference demo (``visualization.ipynb``
@@ -47,7 +47,7 @@ def eval_main() -> None:
     from .evaluation import run
 
     p = argparse.ArgumentParser(
-        description="CIDEr-D / BLEU-4 caption evaluation over COCO val "
+        description="CIDEr-D / BLEU-1..4 / ROUGE-L caption evaluation over COCO val "
                     "(official PTB tokenization semantics)")
     p.add_argument("--result_dir", required=True)
     p.add_argument("--checkpoint", default="best")
@@ -190,12 +190,23 @@ def serve_main() -> None:
           f"(warming {n_buckets} buckets)")
     server.start(warmup=not args.no_warmup)
     print("klab-serve: ready")
-    try:
-        import threading
+    # Clean shutdown on SIGTERM (what orchestrators send before SIGKILL):
+    # stop the accept loop and close the service instead of dying mid-write
+    # — the serving-side analogue of the trainer's save_on_sigterm.
+    import signal
+    import threading
 
-        threading.Event().wait()  # serve until interrupted
+    halt = threading.Event()
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: halt.set())
+    except ValueError:
+        pass  # not the main thread (embedding harness) — Ctrl-C only
+    try:
+        halt.wait()  # serve until SIGTERM or KeyboardInterrupt
+        print("klab-serve: SIGTERM — draining")
     except KeyboardInterrupt:
-        server.stop()
+        pass
+    server.stop()
 
 
 if __name__ == "__main__":

@@ -65,6 +65,25 @@ T5_SIZES: dict[str, T5Size] = {
                      num_decoder_layers=24, num_heads=128),
 }
 
+# Beyond the reference choices: the T5 v1.1 recipe (gated tanh-GELU MLPs,
+# untied LM head — models/t5.py:T5Mlp) and its Flan instruction-tuned twins,
+# the natural modern drop-ins for the reference's t5-large towers. Same
+# geometries as the HF configs of the same names.
+
+
+def _v11(d_model, d_ff, num_layers, num_heads):
+    return T5Size(d_model=d_model, d_kv=64, d_ff=d_ff, num_layers=num_layers,
+                  num_decoder_layers=num_layers, num_heads=num_heads,
+                  feed_forward_proj="gated-gelu", tie_word_embeddings=False)
+
+
+for _stem in ("google/t5-v1_1", "google/flan-t5"):
+    T5_SIZES[f"{_stem}-small"] = _v11(512, 1024, 8, 6)
+    T5_SIZES[f"{_stem}-base"] = _v11(768, 2048, 12, 12)
+    T5_SIZES[f"{_stem}-large"] = _v11(1024, 2816, 24, 16)
+    T5_SIZES[f"{_stem}-xl"] = _v11(2048, 5120, 24, 32)
+    T5_SIZES[f"{_stem}-xxl"] = _v11(4096, 10240, 24, 64)
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinV2Size:

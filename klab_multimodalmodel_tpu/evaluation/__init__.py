@@ -1,2 +1,3 @@
 from .evaluate import coco_references, evaluate_captions, run
-from .metrics import bleu, cider_d, ptb_tokenize, simple_tokenize
+from .metrics import (bleu, bleu_n, cider_d, ptb_tokenize, rouge_l,
+                      simple_tokenize)

@@ -1,9 +1,10 @@
-"""Caption evaluation runner: checkpoint -> greedy captions -> CIDEr/BLEU.
+"""Caption eval runner: checkpoint -> captions -> CIDEr/BLEU/ROUGE-L.
 
 Fills the reference's evaluation gap (it only eyeballs one caption in
 ``visualization.ipynb`` cell 8): batched greedy decoding over a COCO-style
-val set with ALL reference captions per image, reporting CIDEr-D and BLEU-4
-to ``{result_dir}/metrics.json``.
+val set with ALL reference captions per image, reporting CIDEr-D, the
+cumulative BLEU-1..4 tuple and ROUGE-L (the pure-algorithm members of the
+official COCO-caption metric family) to ``{result_dir}/metrics.json``.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from ..data.coco import CocoIndex
 from ..data.datasets import COCO_PROMPT, load_image_resized
 from ..infer.captioner import Captioner
 from ..text.tokenizer import TokenizerBase
-from .metrics import bleu, cider_d
+from .metrics import bleu_n, cider_d, rouge_l
 
 
 def coco_references(data_dir: str, phase: str = "val"
@@ -71,12 +72,16 @@ def evaluate_captions(config: Config, params, tokenizer: TokenizerBase,
         pending = (ids, len(chunk))
     if pending is not None:
         predictions.extend(captioner.caption_finish(pending[0])[:pending[1]])
+    refs = list(references)
+    bleus = bleu_n(predictions, refs)
     return {
         "num_images": len(paths),
-        "CIDEr-D": cider_d(predictions, list(references)),
-        "BLEU-4": bleu(predictions, list(references)),
+        "CIDEr-D": cider_d(predictions, refs),
+        "BLEU-1": bleus[0], "BLEU-2": bleus[1],
+        "BLEU-3": bleus[2], "BLEU-4": bleus[3],
+        "ROUGE-L": rouge_l(predictions, refs),
         "sample": {"prediction": predictions[0],
-                   "references": list(references[0])} if predictions else {},
+                   "references": list(refs[0])} if predictions else {},
     }
 
 

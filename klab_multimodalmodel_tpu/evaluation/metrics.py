@@ -1,11 +1,19 @@
-"""Caption quality metrics: CIDEr-D and BLEU, with PTB tokenization.
+"""Caption quality metrics: CIDEr-D, BLEU-1..4 and ROUGE-L, PTB-tokenized.
 
 The reference has no quantitative evaluation at all (SURVEY.md §4 — only a
 val-loss loop and one qualitative notebook sample); BASELINE.md's quality
 target is "CIDEr on MSCOCO val within 1%", so the framework ships the metric.
 CIDEr-D follows the official pycocoevalcap ``cider_scorer.py`` algorithm
 (tf-idf weighted n-gram cosine with the sigma=6 length gaussian, scores
-x10); BLEU is standard corpus BLEU-4 with brevity penalty.
+x10); BLEU is standard corpus BLEU with brevity penalty and closest-length
+effective reference (pycocoevalcap's default), reported cumulative at
+n=1..4; ROUGE-L follows pycocoevalcap ``rouge.py`` (per-image LCS
+precision/recall maxed over references, beta=1.2 F-measure, corpus mean).
+Of the official COCO-caption five, METEOR and SPICE are deliberately absent:
+both are thin wrappers around bundled Java artifacts (meteor-1.5.jar with
+its WordNet/paraphrase data files; the Stanford scene-graph parser) — there
+is no published pure algorithm to port faithfully, and shipping a lookalike
+would produce numbers incomparable with every published METEOR/SPICE score.
 
 Tokenization defaults to ``ptb_tokenize`` — a faithful port of what
 pycocoevalcap's ``PTBTokenizer`` does (Stanford PTBTokenizer via Java with
@@ -222,3 +230,57 @@ def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
     log_p = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
     bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
     return bp * math.exp(log_p)
+
+
+def bleu_n(candidates: Sequence[str],
+           references: Sequence[Sequence[str]],
+           max_n: int = 4, tokenizer=ptb_tokenize) -> List[float]:
+    """Cumulative BLEU-1..max_n (the pycocoevalcap ``Bleu`` four-tuple)."""
+    return [bleu(candidates, references, max_n=n, tokenizer=tokenizer)
+            for n in range(1, max_n + 1)]
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    """Longest-common-subsequence length (the classic DP, rolling row)."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y
+                       else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(candidates: Sequence[str],
+            references: Sequence[Sequence[str]],
+            beta: float = 1.2, tokenizer=ptb_tokenize) -> float:
+    """ROUGE-L with official pycocoevalcap ``rouge.py`` semantics.
+
+    Per image: LCS precision/recall against EACH reference, each maxed
+    independently over the reference set (the official scorer takes
+    ``max(prec)`` and ``max(rec)`` separately — possibly from different
+    references), combined as an F-measure with beta=1.2; the corpus score
+    is the plain mean. An empty candidate (or empty reference) contributes
+    0 for that pair, matching the official guard ``prec_max != 0 and
+    rec_max != 0``."""
+    assert len(candidates) == len(references)
+    if not candidates:
+        return 0.0
+    total = 0.0
+    for cand, refs in zip(candidates, references):
+        c_toks = tokenizer(cand)
+        prec_max = rec_max = 0.0
+        for ref in refs:
+            r_toks = tokenizer(ref)
+            if not c_toks or not r_toks:
+                continue
+            lcs = _lcs_len(c_toks, r_toks)
+            prec_max = max(prec_max, lcs / len(c_toks))
+            rec_max = max(rec_max, lcs / len(r_toks))
+        if prec_max != 0 and rec_max != 0:
+            total += ((1 + beta ** 2) * prec_max * rec_max
+                      / (rec_max + beta ** 2 * prec_max))
+    return total / len(candidates)

@@ -263,6 +263,12 @@ class DecodeEngine:
         self.active[slot] = True
         self.row_max[slot] = m
         self._tags[slot] = tag
+        # Any flags from the last tick describe the slot's PREVIOUS
+        # occupant; drop the slot from that snapshot so a reap() before
+        # the next tick can't free the new request on stale (steps,
+        # finished) values.
+        if self._flags_active is not None:
+            self._flags_active[slot] = False
         return slot
 
     def tick(self) -> None:

@@ -57,7 +57,7 @@ class QuantizedParams(NamedTuple):
 # RMSNorm scales, relative-position tables, MoE expert banks — those use
 # einsum params, not KlabDense) stays in its stored dtype.
 QUANT_KERNEL_MODULES = frozenset(
-    {"q", "k", "v", "o", "wi", "wo", "lm_head"})
+    {"q", "k", "v", "o", "wi", "wi_0", "wi_1", "wo", "lm_head"})
 
 
 def quantize_kernel(kernel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1,11 +1,14 @@
-"""T5 v1.0 encoder-decoder, TPU-native.
+"""T5 encoder-decoder (v1.0 and v1.1/Flan geometries), TPU-native.
 
 Re-implements the capability the reference pulls in through HuggingFace
 ``T5EncoderModel`` / ``T5ForConditionalGeneration``
 (``/root/reference/models/model.py:4,14,17``): relative-position-bucket
 attention bias, RMSNorm, un-gated ReLU MLPs, tied LM head with the
 ``d_model**-0.5`` output scale, teacher-forced cross-entropy, and an
-incremental-decode path with a KV cache.
+incremental-decode path with a KV cache. Beyond the reference's five v1.0
+sizes, ``size.feed_forward_proj`` / ``size.tie_word_embeddings`` select the
+v1.1 recipe (gated tanh-GELU MLPs, untied LM head) used by
+``google/t5-v1_1-*`` and ``google/flan-t5-*`` checkpoints.
 
 TPU-first choices (not a port of the torch code):
   * layers are stacked with ``nn.scan`` (one compiled block body, layer axis
@@ -286,8 +289,35 @@ class T5Attention(nn.Module):
         return o_proj(attn)
 
 
+def _t5_act(feed_forward_proj: str):
+    """(activation fn, is_gated) from the HF ``feed_forward_proj`` string.
+
+    Mirrors ``transformers`` T5Config exactly: ``gated-X`` means two input
+    projections with X on the gate branch, and the special case that
+    ``gated-gelu`` uses ``gelu_new`` (the tanh approximation) while a plain
+    ``gelu`` is the exact erf form."""
+    parts = feed_forward_proj.split("-")
+    is_gated = parts[0] == "gated"
+    name = parts[-1]
+    if feed_forward_proj == "gated-gelu":
+        name = "gelu_new"
+    acts = {
+        "relu": nn.relu,
+        "gelu": lambda x: nn.gelu(x, approximate=False),
+        "gelu_new": lambda x: nn.gelu(x, approximate=True),
+        "silu": nn.silu,
+    }
+    if name not in acts:
+        raise ValueError(
+            f"unsupported feed_forward_proj {feed_forward_proj!r}; "
+            f"supported: relu, gelu, silu, gated-gelu, gated-silu")
+    return acts[name], is_gated
+
+
 class T5Mlp(nn.Module):
-    """Un-gated ReLU MLP (original T5 ``DenseActDense``)."""
+    """T5 feed-forward: un-gated ReLU (original ``DenseActDense``) or the
+    v1.1/Flan gated form (``DenseGatedActDense``: ``act(wi_0(x)) * wi_1(x)``
+    with tanh-GELU), selected by ``size.feed_forward_proj``."""
 
     size: T5Size
     dtype: Dtype = jnp.float32
@@ -295,9 +325,16 @@ class T5Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         s = self.size
-        x = KlabDense(s.d_ff, dtype=self.dtype, name="wi",
-                      kernel_init=nn.initializers.normal(s.d_model ** -0.5))(x)
-        x = nn.relu(x)
+        act, gated = _t5_act(s.feed_forward_proj)
+        init = nn.initializers.normal(s.d_model ** -0.5)
+        if gated:
+            gate = act(KlabDense(s.d_ff, dtype=self.dtype, name="wi_0",
+                                 kernel_init=init)(x))
+            x = gate * KlabDense(s.d_ff, dtype=self.dtype, name="wi_1",
+                                 kernel_init=init)(x)
+        else:
+            x = act(KlabDense(s.d_ff, dtype=self.dtype, name="wi",
+                              kernel_init=init)(x))
         x = nn.Dropout(s.dropout_rate)(x, deterministic=deterministic)
         x = KlabDense(s.d_model, dtype=self.dtype, name="wo",
                       kernel_init=nn.initializers.normal(s.d_ff ** -0.5))(x)

@@ -38,8 +38,9 @@ _RULES: list[tuple[str, P]] = [
     (r"SelfAttention/o/kernel$", P("tensor", "fsdp")),
     (r"EncDecAttention/(q|k|v)/kernel$", P("fsdp", "tensor")),
     (r"EncDecAttention/o/kernel$", P("tensor", "fsdp")),
-    # T5 MLP: wi expands (shard d_ff on tensor), wo contracts.
-    (r"mlp/wi/kernel$", P("fsdp", "tensor")),
+    # T5 MLP: wi expands (shard d_ff on tensor), wo contracts. wi_0/wi_1
+    # are the v1.1/Flan gated pair — both expand, same layout as wi.
+    (r"mlp/wi(_[01])?/kernel$", P("fsdp", "tensor")),
     (r"mlp/wo/kernel$", P("tensor", "fsdp")),
     # MoE expert FFNs: leading experts axis over ``expert``, then the dense
     # rules' layout per expert. The router stays replicated — it is tiny

@@ -111,10 +111,14 @@ class ReplicatedCaptionService:
                              timeout: Optional[float] = 120.0):
         """A stream stays on ONE replica for its whole life (its KV cache
         lives on that chip); it counts as in-flight until the generator
-        finishes or is abandoned."""
-        i = self._acquire()
+        finishes or is abandoned. The replica is acquired at FIRST
+        iteration, not at call time: a generator that is never started
+        runs no code at all (not even ``finally``), so an eager acquire
+        would leak the in-flight slot if the client vanished before the
+        first event."""
 
         def gen_events():
+            i = self._acquire()
             try:
                 yield from self.replicas[i].caption_stream_bytes(
                     image_bytes, prompt=prompt, gen=gen,

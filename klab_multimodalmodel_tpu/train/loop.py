@@ -516,12 +516,15 @@ def train(config: Config,
                 logger.info(
                     f"[Epoch ({epoch}/{num_epochs})] CIDEr-D : "
                     f"{caption_scores['CIDEr-D']:.3f}, BLEU-4 : "
-                    f"{caption_scores['BLEU-4']:.4f} "
+                    f"{caption_scores['BLEU-4']:.4f}, ROUGE-L : "
+                    f"{caption_scores['ROUGE-L']:.4f} "
                     f"({caption_scores['num_images']} images)")
             if tb.enabled:
                 tb.scalar("quality/cider_d",
                           caption_scores["CIDEr-D"], epoch)
                 tb.scalar("quality/bleu4", caption_scores["BLEU-4"], epoch)
+                tb.scalar("quality/rouge_l",
+                          caption_scores["ROUGE-L"], epoch)
         if tb.enabled:
             tb.scalar("loss/train", train_loss, epoch)
             tb.scalar("loss/val", val_loss, epoch)

@@ -120,6 +120,41 @@ def test_engine_staggered_arrivals_match_greedy(setup, rng):
             err_msg=f"request {i} diverged from its lone greedy decode")
 
 
+def test_engine_reap_insert_reap_without_tick(setup, rng):
+    """A slot freed by reap and refilled by insert must NOT be reaped
+    again before the next tick: the last tick's packed flags describe the
+    previous occupant (insert drops the slot from the flags-active
+    snapshot). The recycled request then decodes to its own greedy tokens."""
+    model, params = setup
+    reqs = _requests(model, params, rng, 2)
+    # max_length 2: the first request completes at the very first tick,
+    # guaranteeing reap frees its slot immediately.
+    engine = DecodeEngine(model, params, slots=1, source_width=SRC_W,
+                          d_model=TINY.d_model, max_length=MAX_LEN, chunk=2,
+                          enc_dtype=reqs[0][0].dtype)
+    enc, mask, _ = reqs[0]
+    pre = engine.prefill(enc, mask)
+    engine.insert(pre, enc, mask, 0, tag=0, max_length=2)
+    engine.tick()
+    reaped = engine.reap()
+    assert [t for t, _, _ in reaped] == [0]
+    assert engine.free_slots() == 1
+    # Refill the same slot (same small max_length, so the STALE flag row —
+    # steps=1 from the old occupant — would satisfy steps >= row_max-1 and
+    # free the new request instantly if insert kept the slot in the flags
+    # snapshot); reap again WITHOUT an intervening tick.
+    enc, mask, ref = reqs[1]
+    pre = engine.prefill(enc, mask)
+    engine.insert(pre, enc, mask, 0, tag=1, max_length=2)
+    assert engine.reap() == []
+    assert engine.has_live()
+    results = {}
+    _drain(engine, results)
+    row, n_valid = results[1]
+    assert n_valid == 2
+    np.testing.assert_array_equal(row[:n_valid], ref[0][:n_valid])
+
+
 def test_engine_batched_prefill_rows(setup, rng):
     """One prefill batch, several rows inserted into different slots."""
     model, params = setup

@@ -5,7 +5,8 @@ import json
 import numpy as np
 import pytest
 
-from klab_multimodalmodel_tpu.evaluation import (bleu, cider_d, ptb_tokenize,
+from klab_multimodalmodel_tpu.evaluation import (bleu, bleu_n, cider_d,
+                                                 ptb_tokenize, rouge_l,
                                                  simple_tokenize)
 
 
@@ -109,6 +110,76 @@ def test_bleu_basics():
     # partial overlap in (0, 1)
     s = bleu(["the cat sits on a mat"], refs)
     assert 0.0 < s < 1.0
+
+
+def test_bleu_n_cumulative_tuple():
+    """bleu_n is the pycocoevalcap four-tuple: cumulative, monotonically
+    non-increasing in n, with BLEU-4 equal to the single-value bleu()."""
+    cands = ["a cat sits on a mat", "a dog runs in the park"]
+    refs = [["the cat sits on the mat", "a cat is on a mat"],
+            ["a dog runs through a park"]]
+    scores = bleu_n(cands, refs)
+    assert len(scores) == 4
+    assert all(scores[i] >= scores[i + 1] for i in range(3))
+    assert scores[3] == pytest.approx(bleu(cands, refs))
+    assert 0.0 < scores[0] <= 1.0
+
+
+def test_rouge_l_hand_computed():
+    """Official pycocoevalcap rouge.py semantics on a worked example.
+
+    cand = "a cat sat on the mat" (6 tokens)
+    ref1 = "the cat sat on the mat" (6): LCS=5  -> P=5/6, R=5/6
+    ref2 = "a cat was on a red mat" (7): LCS=4 -> P=4/6, R=4/7
+    prec_max=5/6, rec_max=5/6 (both from ref1); beta=1.2 F = 5/6 exactly
+    (P == R makes the F-measure collapse to that value)."""
+    score = rouge_l(["a cat sat on the mat"],
+                    [["the cat sat on the mat", "a cat was on a red mat"]],
+                    tokenizer=simple_tokenize)
+    assert score == pytest.approx(5 / 6, abs=1e-12)
+    # Asymmetric P/R case: candidate "a b" vs refs "a b c d" (LCS=2 ->
+    # P=1, R=1/2) and "a q" (LCS=1 -> P=1/2, R=1/2): prec_max=1,
+    # rec_max=1/2; beta=1.2 F = (1+1.44)*1*0.5 / (0.5 + 1.44*1) ~ 0.629
+    # — NOT the harmonic mean (0.667), pinning the beta weighting.
+    beta = 1.2
+    expected = (1 + beta**2) * 1.0 * 0.5 / (0.5 + beta**2 * 1.0)
+    score = rouge_l(["a b"], [["a b c d", "a q"]],
+                    tokenizer=simple_tokenize)
+    assert score == pytest.approx(expected, abs=1e-12)
+
+
+def test_rouge_l_bounds_and_edges():
+    refs = [["the cat sits on the mat"]]
+    assert rouge_l(["the cat sits on the mat"], refs) == pytest.approx(1.0)
+    assert rouge_l(["dog"], refs) == 0.0  # no common subsequence
+    assert rouge_l([""], refs) == 0.0     # empty candidate guard
+    assert rouge_l([], []) == 0.0
+    # corpus score is the mean of per-image scores
+    two = rouge_l(["the cat sits on the mat", "dog"], refs * 2)
+    assert two == pytest.approx(0.5)
+
+
+def test_rouge_l_lcs_against_independent_dp():
+    """_lcs_len (rolling-row DP) vs a naive full-matrix DP written here
+    from the recurrence, over random token sequences."""
+    from klab_multimodalmodel_tpu.evaluation.metrics import _lcs_len
+
+    def naive_lcs(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = (m[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                           else max(m[i - 1][j], m[i][j - 1]))
+        return m[-1][-1]
+
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefg")
+    for _ in range(50):
+        a = [vocab[i] for i in rng.integers(0, len(vocab),
+                                            rng.integers(0, 12))]
+        b = [vocab[i] for i in rng.integers(0, len(vocab),
+                                            rng.integers(0, 12))]
+        assert _lcs_len(a, b) == naive_lcs(a, b), (a, b)
 
 
 @pytest.mark.slow

@@ -82,6 +82,10 @@ def _flatten_with_paths(tree):
     ("t5-3b", {"data": 1, "fsdp": 2, "tensor": 4}, 16.0, 8),
     # t5-11b on a v4-32 slice: fsdp 8 x tensor 4 (32 chips, 32 GB HBM each).
     ("t5-11b", {"data": 1, "fsdp": 8, "tensor": 4}, 32.0, 32),
+    # flan-t5-xxl (11B, v1.1 recipe: gated wi_0/wi_1 MLPs + untied head)
+    # on the same v4-32 layout — covers the gated-MLP partitioning rules
+    # at scale.
+    ("google/flan-t5-xxl", {"data": 1, "fsdp": 8, "tensor": 4}, 32.0, 32),
 ])
 def test_large_geometry_fits_hbm(model_name, mesh_axes, hbm_budget_gb,
                                  n_chips):

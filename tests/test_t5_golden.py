@@ -100,6 +100,73 @@ def test_lm_logits_and_loss_golden(hf_lm, rng):
     np.testing.assert_allclose(float(out.loss), float(ref.loss), rtol=1e-5)
 
 
+def test_v11_gated_gelu_untied_head_golden(rng):
+    """T5 v1.1/Flan recipe: gated tanh-GELU MLPs (wi_0/wi_1) + untied
+    LM head — logits/loss golden vs HF torch, plus a greedy-decode
+    token-exactness check against HF generate."""
+    import dataclasses as _dc
+
+    size = _dc.replace(TINY, feed_forward_proj="gated-gelu",
+                       tie_word_embeddings=False)
+    cfg = transformers.T5Config(
+        vocab_size=size.vocab_size, d_model=size.d_model, d_kv=size.d_kv,
+        d_ff=size.d_ff, num_layers=size.num_layers,
+        num_decoder_layers=size.num_decoder_layers, num_heads=size.num_heads,
+        relative_attention_num_buckets=size.relative_attention_num_buckets,
+        relative_attention_max_distance=size.relative_attention_max_distance,
+        dropout_rate=0.0, decoder_start_token_id=0, pad_token_id=0,
+        eos_token_id=1, tie_word_embeddings=False,
+        feed_forward_proj="gated-gelu")
+    assert cfg.is_gated_act and cfg.dense_act_fn == "gelu_new"
+    torch.manual_seed(3)
+    hf = transformers.T5ForConditionalGeneration(cfg)
+    hf.eval()
+
+    ids = rng.integers(2, size.vocab_size, size=(2, 7))
+    labels = rng.integers(2, size.vocab_size, size=(2, 5))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), labels=torch.tensor(labels))
+
+    model = T5ForConditionalGeneration(size)
+    params = convert_t5_lm(hf.state_dict(), size)
+    assert "wi_0" in params["encoder"]["layers"]["block"]["mlp"]
+    out = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      labels=jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(out.logits), ref.logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(out.loss), float(ref.loss), rtol=1e-5)
+
+    # Greedy decode through the KV-cache loop (exercises the gated MLP in
+    # the incremental path + the untied head at every step).
+    from klab_multimodalmodel_tpu.infer import greedy_decode
+
+    mask = np.ones((2, 7), np.int32)
+    with torch.no_grad():
+        hf_tokens = hf.generate(input_ids=torch.tensor(ids),
+                                attention_mask=torch.tensor(mask),
+                                max_length=10, num_beams=1,
+                                do_sample=False)
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      attention_mask=jnp.asarray(mask),
+                      method=model.encode)
+    ours = np.asarray(greedy_decode(model, params, enc, jnp.asarray(mask),
+                                    10))
+    for b in range(2):
+        h = hf_tokens[b].numpy()
+        np.testing.assert_array_equal(ours[b][:len(h)], h)
+
+    # Round-trip: export back to an HF state_dict and reload.
+    from klab_multimodalmodel_tpu.checkpoint.export_hf import export_t5_lm
+
+    sd = export_t5_lm(params, size)
+    hf2 = transformers.T5ForConditionalGeneration(cfg)
+    hf2.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    with torch.no_grad():
+        ref2 = hf2(input_ids=torch.tensor(ids), labels=torch.tensor(labels))
+    np.testing.assert_allclose(ref2.logits.numpy(), ref.logits.numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_lm_inputs_embeds_golden(hf_lm, rng):
     embeds = rng.standard_normal((2, 6, TINY.d_model)).astype(np.float32)
     labels = rng.integers(2, TINY.vocab_size, size=(2, 4))
