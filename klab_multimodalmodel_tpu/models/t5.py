@@ -33,11 +33,33 @@ from ..config import T5Size
 from ..ops.fused_attention import (pack_head_bias, pick_group,
                                    t5_fused_attention_packed)
 from ..ops.ring_attention import ring_applicable, ring_self_attention
-from ..parallel.partitioning import (pipe_constraint, seq_constraint,
-                                     tick_constraint)
+from ..parallel.partitioning import (mesh_axis_size, pipe_constraint,
+                                     seq_constraint, tick_constraint)
 from .layers import NEG_INF, RMSNorm, dot_product_attention
 
 Dtype = Any
+
+
+def embed_tokens(embed: nn.Embed, ids: jax.Array) -> jax.Array:
+    """Token-embedding lookup; one-hot matmul when the vocab is TP-sharded.
+
+    The (vocab, d_model) ``shared`` table is sharded ``P('tensor','fsdp')``
+    (parallel/partitioning.py). A plain gather on the vocab-sharded operand
+    makes XLA's SPMD partitioner replicate the whole table on every lookup
+    — the "Involuntary full rematerialization" warnings recorded in
+    MULTICHIP_r03.json. The TPU idiom is a one-hot matmul: each shard
+    contracts only its local vocab rows and the partitioner finishes with a
+    psum over ``tensor`` — MXU-friendly, and bit-exact with the gather
+    (each output element is a single product by an exact 1.0). Falls back
+    to the plain gather when the ambient mesh has no nontrivial ``tensor``
+    axis, so single-chip and DP/FSDP compilations are unchanged.
+    """
+    if mesh_axis_size("tensor") == 1:
+        return embed(ids)
+    table = jnp.asarray(embed.embedding, embed.dtype)
+    hot = jax.nn.one_hot(ids, table.shape[0], dtype=table.dtype)
+    return jax.lax.dot_general(hot, table,
+                               (((ids.ndim,), (0,)), ((), ())))
 
 
 # ---------------------------------------------------------------------------
@@ -936,7 +958,7 @@ class T5Encoder(nn.Module):
                  attention_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         if inputs_embeds is None:
-            inputs_embeds = self.shared(input_ids)
+            inputs_embeds = embed_tokens(self.shared, input_ids)
         L = inputs_embeds.shape[1]
         return self.stack(inputs_embeds, head_bias=self.relpos(L, L)[0],
                           kmask=attention_mask,
@@ -1058,7 +1080,7 @@ class T5ForConditionalGeneration(nn.Module):
     def _encode_with_aux(self, input_ids=None, inputs_embeds=None,
                          attention_mask=None, deterministic: bool = True):
         if inputs_embeds is None:
-            inputs_embeds = self.shared(input_ids)
+            inputs_embeds = embed_tokens(self.shared, input_ids)
         L = inputs_embeds.shape[1]
         return self._split_aux(self.encoder(
             inputs_embeds, head_bias=self.enc_relpos(L, L)[0],
@@ -1096,7 +1118,7 @@ class T5ForConditionalGeneration(nn.Module):
                                decoder_attention_mask=None,
                                deterministic: bool = True):
         L = decoder_input_ids.shape[1]
-        dec_embeds = self.shared(decoder_input_ids)
+        dec_embeds = embed_tokens(self.shared, decoder_input_ids)
         head_bias = self.dec_relpos(L, L)[0] + causal_bias(L)[0, 0]
         hidden, aux = self._split_aux(self.decoder(
             dec_embeds, head_bias=head_bias,
@@ -1120,7 +1142,7 @@ class T5ForConditionalGeneration(nn.Module):
         ``cache_index`` leaves; see ``infer/engine.py``).
         Returns (B, T, vocab) logits.
         """
-        dec_embeds = self.shared(decoder_input_token)
+        dec_embeds = embed_tokens(self.shared, decoder_input_token)
         # Bias rows for the chunk's positions against the full cache length.
         full_bias = self.dec_relpos(max_decode_len, max_decode_len)[0]
         T = decoder_input_token.shape[1]

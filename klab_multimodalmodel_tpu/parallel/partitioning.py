@@ -141,6 +141,14 @@ def _ambient_mesh():
     return None if mesh.empty else mesh
 
 
+def mesh_axis_size(name: str) -> int:
+    """Size of a named axis on the ambient mesh (1 if absent/no mesh)."""
+    mesh = _ambient_mesh()
+    if mesh is None or name not in mesh.axis_names:
+        return 1
+    return mesh.shape[name]
+
+
 def seq_constraint(x: jax.Array, seq_dim: int = 1) -> jax.Array:
     """Constrain an activation's sequence dim onto the ``seq`` mesh axis.
 

@@ -42,7 +42,8 @@ import pytest  # noqa: E402
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
-        help="run tests marked slow (full pass; default subset is <5 min)")
+        help="run tests marked slow (full pass; the default subset takes "
+             "~30-40 min on a 1-core host — see COVERAGE.md for timings)")
 
 
 def pytest_collection_modifyitems(config, items):

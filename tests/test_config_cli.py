@@ -69,11 +69,21 @@ def test_scheduler_choices_enforced():
 
 
 def test_t5_size_table():
-    # published t5 geometry (reference choices, modules/config.py:8-9)
-    assert set(T5_SIZES) == {"t5-small", "t5-base", "t5-large", "t5-3b",
-                             "t5-11b"}
+    # published t5 geometry (reference choices, modules/config.py:8-9).
+    # The table also carries v1.1/Flan entries beyond the reference, so the
+    # v1.0 five are asserted as a subset, not the whole table.
+    v10 = {"t5-small", "t5-base", "t5-large", "t5-3b", "t5-11b"}
+    assert v10 <= set(T5_SIZES)
     assert T5_SIZES["t5-large"].d_model == 1024
     assert T5_SIZES["t5-11b"].num_heads == 128
+    # v1.1/Flan recipe entries: gated act, untied head.
+    assert "google/t5-v1_1-base" in T5_SIZES
+    assert "google/flan-t5-base" in T5_SIZES
+    assert T5_SIZES["google/t5-v1_1-base"].feed_forward_proj == "gated-gelu"
+    assert not T5_SIZES["google/t5-v1_1-base"].tie_word_embeddings
+    # v1.0 entries keep the original recipe.
+    assert T5_SIZES["t5-base"].feed_forward_proj == "relu"
+    assert T5_SIZES["t5-base"].tie_word_embeddings
 
 
 def test_config_json_roundtrip(tmp_path):
