@@ -25,11 +25,14 @@ from typing import Any, Sequence
 
 @dataclasses.dataclass(frozen=True)
 class T5Size:
-    """Geometry of a T5 v1.0 checkpoint family member.
+    """Geometry + recipe of a T5 checkpoint family member.
 
     Matches the published google/t5 configs (the reference loads these via
     ``T5ForConditionalGeneration.from_pretrained`` at
-    ``/root/reference/models/model.py:14-17``).
+    ``/root/reference/models/model.py:14-17``). ``feed_forward_proj`` and
+    ``tie_word_embeddings`` parameterize the recipe beyond the reference's
+    v1.0 five: v1.1 / Flan checkpoints use gated-gelu MLPs and an untied
+    LM head.
     """
 
     d_model: int
@@ -83,6 +86,7 @@ for _stem in ("google/t5-v1_1", "google/flan-t5"):
     T5_SIZES[f"{_stem}-large"] = _v11(1024, 2816, 24, 16)
     T5_SIZES[f"{_stem}-xl"] = _v11(2048, 5120, 24, 32)
     T5_SIZES[f"{_stem}-xxl"] = _v11(4096, 10240, 24, 64)
+del _stem  # registration loop variable; not part of the module API
 
 
 @dataclasses.dataclass(frozen=True)

@@ -199,9 +199,20 @@ def cider_d(candidates: Sequence[str],
     return CiderScorer(tokenizer=tokenizer).compute(candidates, references)
 
 
-def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
-         max_n: int = 4, tokenizer=ptb_tokenize) -> float:
-    """Corpus BLEU-N with brevity penalty (uniform weights)."""
+# pycocoevalcap bleu_scorer.py smoothing constants: clipped+tiny over
+# guess+small keeps zero-match orders at a tiny nonzero score instead of a
+# hard 0.0 (small early-training eval sets would otherwise log BLEU-3/4 = 0
+# where the official scorer gives ~1e-9-scale values).
+_BLEU_TINY = 1e-15
+_BLEU_SMALL = 1e-9
+
+
+def _bleu_corpus_counts(candidates: Sequence[str],
+                        references: Sequence[Sequence[str]],
+                        max_n: int, tokenizer):
+    """One tokenize+count pass shared by every BLEU order: per-n clipped
+    and total n-gram counts plus the corpus candidate/closest-reference
+    lengths (pycocoevalcap's 'closest' reflen option)."""
     clipped = [0] * max_n
     totals = [0] * max_n
     cand_len = 0
@@ -210,7 +221,6 @@ def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
         c_toks = tokenizer(cand)
         r_toks = [tokenizer(r) for r in refs]
         cand_len += len(c_toks)
-        # closest reference length
         ref_len += min((abs(len(r) - len(c_toks)), len(r))
                        for r in r_toks)[1] if r_toks else 0
         for n in range(1, max_n + 1):
@@ -222,22 +232,39 @@ def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
                                 for i in range(len(r) - n + 1))
                 for ng, cnt in r_ngr.items():
                     max_ref[ng] = max(max_ref[ng], cnt)
-            totals[n - 1] += max(sum(c_ngr.values()), 0)
+            totals[n - 1] += sum(c_ngr.values())
             clipped[n - 1] += sum(min(cnt, max_ref[ng])
                                   for ng, cnt in c_ngr.items())
-    if any(t == 0 for t in totals) or any(c == 0 for c in clipped):
-        return 0.0
-    log_p = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
-    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
-    return bp * math.exp(log_p)
+    return clipped, totals, cand_len, ref_len
 
 
 def bleu_n(candidates: Sequence[str],
            references: Sequence[Sequence[str]],
            max_n: int = 4, tokenizer=ptb_tokenize) -> List[float]:
-    """Cumulative BLEU-1..max_n (the pycocoevalcap ``Bleu`` four-tuple)."""
-    return [bleu(candidates, references, max_n=n, tokenizer=tokenizer)
-            for n in range(1, max_n + 1)]
+    """Cumulative BLEU-1..max_n — the pycocoevalcap ``Bleu`` four-tuple
+    with the official scorer's semantics: closest-length effective
+    reference, tiny/small-smoothed precision ratios (bleu_scorer.py's
+    corpus path), brevity penalty ``exp(1 - 1/ratio)`` when the candidate
+    corpus is shorter. All orders derive from one shared counting pass."""
+    clipped, totals, cand_len, ref_len = _bleu_corpus_counts(
+        candidates, references, max_n, tokenizer)
+    prod = 1.0
+    bleus = []
+    for k in range(max_n):
+        prod *= (clipped[k] + _BLEU_TINY) / (totals[k] + _BLEU_SMALL)
+        bleus.append(prod ** (1.0 / (k + 1)))
+    ratio = (cand_len + _BLEU_TINY) / (ref_len + _BLEU_SMALL)
+    if ratio < 1:
+        bp = math.exp(1 - 1 / ratio)
+        bleus = [b * bp for b in bleus]
+    return bleus
+
+
+def bleu(candidates: Sequence[str], references: Sequence[Sequence[str]],
+         max_n: int = 4, tokenizer=ptb_tokenize) -> float:
+    """Corpus BLEU-N (the last entry of the cumulative ``bleu_n`` tuple)."""
+    return bleu_n(candidates, references, max_n=max_n,
+                  tokenizer=tokenizer)[-1]
 
 
 def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:

@@ -330,9 +330,11 @@ def _t5_act(feed_forward_proj: str):
         "silu": nn.silu,
     }
     if name not in acts:
+        plain = [a for a in acts if a != "gelu_new"]
+        supported = plain + [f"gated-{a}" for a in plain]
         raise ValueError(
             f"unsupported feed_forward_proj {feed_forward_proj!r}; "
-            f"supported: relu, gelu, silu, gated-gelu, gated-silu")
+            f"supported: {', '.join(supported)}")
     return acts[name], is_gated
 
 

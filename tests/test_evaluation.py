@@ -106,10 +106,13 @@ def test_cider_orders_quality():
 def test_bleu_basics():
     refs = [["the cat sits on the mat"]]
     assert bleu(["the cat sits on the mat"], refs) == pytest.approx(1.0)
-    assert bleu(["dog"], refs) == 0.0
+    # Zero overlap: tiny-smoothed (pycocoevalcap bleu_scorer.py), not a
+    # hard 0.0 — the score is epsilon-scale but nonzero.
+    s0 = bleu(["dog"], refs)
+    assert 0.0 < s0 < 1e-6
     # partial overlap in (0, 1)
     s = bleu(["the cat sits on a mat"], refs)
-    assert 0.0 < s < 1.0
+    assert s0 < s < 1.0
 
 
 def test_bleu_n_cumulative_tuple():
@@ -299,3 +302,57 @@ def test_captioner_source_bucketing_token_identical(tmp_path, rng):
     full = Captioner(cfg, params, tok, bucket_source=False).caption(imgs)
     bucketed = Captioner(cfg, params, tok, bucket_source=True).caption(imgs)
     assert bucketed == full
+
+
+@pytest.mark.slow
+def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """klab-eval (cli.eval_main): trained run dir + a 2-image COCO-layout
+    val set -> CIDEr-D/BLEU/ROUGE-L json on stdout AND metrics.json in the
+    run dir — through checkpoint restore, the COCO annotation index, host
+    decode/resize, and the generate path (the one console entry COVERAGE.md
+    listed untested in r3)."""
+    import sys
+
+    from PIL import Image
+
+    from klab_multimodalmodel_tpu import cli
+    from test_train import micro_config  # registers micro sizes
+    from klab_multimodalmodel_tpu.train import train
+
+    cfg = micro_config(tmp_path, num_epochs=1, generate_max_length=6)
+    train(cfg)
+
+    # Minimal COCO val2017 layout (data/coco.py index schema).
+    coco_dir = tmp_path / "coco"
+    img_dir = coco_dir / "val2017"
+    img_dir.mkdir(parents=True)
+    (coco_dir / "annotations").mkdir()
+    for i in (1, 2):
+        Image.new("RGB", (48, 36), color=(40 * i, 80, 120)).save(
+            img_dir / f"{i:012d}.jpg")
+    anno = {
+        "images": [{"id": i, "file_name": f"{i:012d}.jpg"} for i in (1, 2)],
+        "annotations": [
+            {"id": 10, "image_id": 1, "caption": "a blue wall"},
+            {"id": 11, "image_id": 1, "caption": "a plain blue surface"},
+            {"id": 20, "image_id": 2, "caption": "a teal wall"},
+        ],
+    }
+    with open(coco_dir / "annotations" / "captions_val2017.json", "w") as f:
+        json.dump(anno, f)
+
+    monkeypatch.setattr(sys, "argv", [
+        "klab-eval", "--result_dir", cfg.result_dir,
+        "--data_dir", str(coco_dir), "--limit", "2"])
+    cli.eval_main()
+    out = json.loads(capsys.readouterr().out)
+    for key in ("CIDEr-D", "BLEU-1", "BLEU-4", "ROUGE-L", "num_images"):
+        assert key in out, f"missing {key}: {sorted(out)}"
+    assert out["num_images"] == 2
+    assert all(np.isfinite(out[k]) for k in
+               ("CIDEr-D", "BLEU-1", "BLEU-4", "ROUGE-L"))
+
+    import os
+
+    with open(os.path.join(cfg.result_dir, "metrics.json")) as f:
+        assert json.load(f) == out

@@ -171,3 +171,46 @@ def test_t5_3b_train_step_lowers_sharded():
     lowered = step.lower(shapes, batch_shapes, rng_shape)
     hlo = lowered.as_text()
     assert "sharding" in hlo  # SPMD annotations made it into the module
+
+
+def test_moe_8expert_fits_hbm_on_expert_mesh():
+    """BASELINE.md's 8-expert row ends at "OOM on one chip — the case the
+    ``expert`` axis exists for". Prove the claim the way the t5-3b/11b
+    cases do: t5-large + 8-expert Switch MoE (~4.0B params) on an 8-chip
+    v5e (fsdp 2 x expert 4), every expert tensor sharded over ``expert``,
+    per-chip params + Adam moments inside the HBM budget."""
+    cfg = Config(language_model_name="t5-large",
+                 transformer_model_name="t5-large",
+                 max_source_length=64, max_target_length=32,
+                 compute_dtype="bfloat16", moe_experts=8)
+    params, opt_state = _abstract_state(cfg)
+    total = sum(math.prod(l.shape) for l in jax.tree.leaves(params))
+    assert total > 3e9, f"MoE geometry shrank ({total/1e9:.1f}B params)"
+
+    # 1) Every expert weight is sharded on the expert axis (and its Adam
+    #    moments inherit the same suffix-matched spec).
+    expert_leaves = [(p, l) for p, l in _flatten_with_paths(params)
+                     if "experts_w" in p]
+    assert len(expert_leaves) == 4  # {enc,dec} x {wi,wo}, scanned stacks
+    for path, leaf in expert_leaves:
+        spec = spec_for_path(path, leaf.ndim)
+        flat_axes = [ax for axes in spec if axes is not None
+                     for ax in ([axes] if isinstance(axes, str) else axes)]
+        assert "expert" in flat_axes, f"{path}: {spec}"
+
+    # 2) Per-chip bytes fit a 16 GB chip with >= 40% left for activations.
+    mesh_axes = {"data": 1, "fsdp": 2, "tensor": 1, "expert": 4}
+    specs = make_param_specs(params)
+    param_bytes = _sharded_bytes(params, specs, mesh_axes)
+    opt_bytes = _sharded_bytes(opt_state, make_param_specs(opt_state),
+                               mesh_axes)
+    per_device_gb = (param_bytes + opt_bytes) / 2**30
+    assert per_device_gb < 0.6 * 16.0, (
+        f"8-expert t5-large: {per_device_gb:.1f} GB state/device on "
+        f"8 chips exceeds 60% of 16 GB")
+    # And the unsharded state genuinely does NOT fit one chip — the row's
+    # premise.
+    unsharded_gb = (_sharded_bytes(params, specs, {})
+                    + _sharded_bytes(opt_state,
+                                     make_param_specs(opt_state), {})) / 2**30
+    assert unsharded_gb > 16.0
