@@ -26,9 +26,13 @@ the same positions; other slots never enter its attention (each row attends
 only its own cache row). ``tests/test_engine.py`` pins interleaved-arrival
 parity against per-request ``greedy_decode``.
 
-Greedy only (the reference's generation config): sampling needs a
-per-request RNG stream inside a shared batch and beams need per-row widths;
-both route to the dynamic batcher instead (``serve/``).
+Greedy by default (the reference's generation config). Sampling is
+supported engine-wide (``do_sample`` + warper config) with a PER-REQUEST
+rng stream: each slot carries its request's key and draws at its own
+absolute step (the same fold-in ``stream_chunk`` uses), so a sampled row
+bit-matches a B=1 ``sample_decode`` with that key regardless of which
+slots it shared ticks with. Beam search needs per-row widths and routes to
+the dynamic batcher instead (``serve/``).
 """
 
 from __future__ import annotations
@@ -62,6 +66,8 @@ class EngineState(NamedTuple):
     finished: jax.Array    # (S,) bool — row emitted eos
     enc: jax.Array         # (S, W, d_model)
     enc_mask: jax.Array    # (S, W) int32
+    rngs: jax.Array        # (S,) typed PRNG keys — per-request sampling
+    #                        streams (inert under greedy decoding)
 
 
 def _broadcast_cache_index(cache: Any, n_slots: int) -> Any:
@@ -75,13 +81,15 @@ def _broadcast_cache_index(cache: Any, n_slots: int) -> Any:
     return jax.tree_util.tree_map_with_path(fix, cache)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9, 10, 11, 12, 13),
+         donate_argnums=(2,))
 def _engine_tick(model: T5ForConditionalGeneration, params: Any,
                  state: EngineState, max_length: int, chunk: int,
                  active: jax.Array, row_max: jax.Array, min_length: int = 0,
                  repetition_penalty: float = 1.0,
-                 no_repeat_ngram_size: int = 0
-                 ) -> tuple[EngineState, jax.Array]:
+                 no_repeat_ngram_size: int = 0, do_sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0) -> tuple[EngineState, jax.Array]:
     """Advance every live row by up to ``chunk`` greedy tokens.
 
     ``active`` (S,) marks occupied slots (host-managed); ``row_max`` (S,)
@@ -110,9 +118,11 @@ def _engine_tick(model: T5ForConditionalGeneration, params: Any,
         cur = jnp.take_along_axis(tokens, steps[:, None], axis=1)  # (S, 1)
         logits, cache = _step(model, params, cache, cur, steps,
                               state.enc, state.enc_mask, max_length)
-        nxt = _select_next(logits, tokens, steps, size, ~running, False,
-                           1.0, 0, 1.0, min_length, repetition_penalty,
-                           no_repeat_ngram_size, None)
+        nxt = _select_next(logits, tokens, steps, size, ~running,
+                           do_sample, temperature, top_k, top_p,
+                           min_length, repetition_penalty,
+                           no_repeat_ngram_size,
+                           state.rngs if do_sample else None)
         # Write at steps+1 for running rows; inert rows write their old
         # value back (put_along_axis always writes, so this is the mask).
         pos = jnp.clip(steps + 1, 0, L - 1)[:, None]               # (S, 1)
@@ -135,13 +145,13 @@ def _engine_tick(model: T5ForConditionalGeneration, params: Any,
     _, steps, tokens, cache, finished = jax.lax.while_loop(cond, body, init)
     flags = jnp.stack([steps, finished.astype(jnp.int32)], axis=0)
     return EngineState(steps, tokens, cache, finished, state.enc,
-                       state.enc_mask), flags
+                       state.enc_mask, state.rngs), flags
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _engine_insert(state: EngineState, pre: StreamState, enc: jax.Array,
                    enc_mask: jax.Array, j: jax.Array,
-                   slot: jax.Array) -> EngineState:
+                   slot: jax.Array, rng: jax.Array) -> EngineState:
     """Write prefill row ``j`` (of a W-row ``stream_init`` batch) into
     engine slot ``slot``: one dynamic-update-slice per leaf on the batch
     axis. ``enc``/``enc_mask`` must already be at the engine's source
@@ -173,7 +183,10 @@ def _engine_insert(state: EngineState, pre: StreamState, enc: jax.Array,
     enc_new = row_insert(state.enc, enc.astype(state.enc.dtype))
     mask_new = row_insert(state.enc_mask,
                           enc_mask.astype(state.enc_mask.dtype))
-    return EngineState(steps, tokens, cache, finished, enc_new, mask_new)
+    rngs = jax.lax.dynamic_update_slice_in_dim(
+        state.rngs, rng[None], slot, axis=0)
+    return EngineState(steps, tokens, cache, finished, enc_new, mask_new,
+                       rngs)
 
 
 class DecodeEngine:
@@ -191,7 +204,9 @@ class DecodeEngine:
                  max_length: int, chunk: int = 4,
                  enc_dtype=jnp.float32, min_length: int = 0,
                  repetition_penalty: float = 1.0,
-                 no_repeat_ngram_size: int = 0):
+                 no_repeat_ngram_size: int = 0, do_sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0):
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.model = model
@@ -201,6 +216,11 @@ class DecodeEngine:
         self.max_length = max_length
         self.chunk = chunk
         self.gen = (min_length, repetition_penalty, no_repeat_ngram_size)
+        # Sampling config is engine-wide (one compiled tick); the RNG
+        # STREAM is per-request — each slot carries its request's key and
+        # draws at its own absolute step, so a sampled row bit-matches a
+        # B=1 sample_decode/stream run with that key (test_engine.py).
+        self.sample = (do_sample, temperature, top_k, top_p)
         size = model.size
         # Build the resident state by priming a zero batch: same structure
         # as a real prefill, with the index leaves widened to per-row.
@@ -216,7 +236,8 @@ class DecodeEngine:
                             jnp.int32),
             cache=_broadcast_cache_index(pre.cache, slots),
             finished=jnp.zeros((slots,), bool),
-            enc=enc0, enc_mask=mask0)
+            enc=enc0, enc_mask=mask0,
+            rngs=jax.random.split(jax.random.key(0), slots))
         self.active = np.zeros((slots,), bool)
         # Per-slot request max_length (<= the engine buffer max_length).
         self.row_max = np.full((slots,), max_length, np.int32)
@@ -234,21 +255,31 @@ class DecodeEngine:
     def has_live(self) -> bool:
         return bool(self.active.any())
 
-    def prefill(self, enc: jax.Array, enc_mask: jax.Array) -> StreamState:
+    def prefill(self, enc: jax.Array, enc_mask: jax.Array,
+                rngs: Optional[jax.Array] = None) -> StreamState:
         """Prime a W-row arrival batch (encoder outputs at the engine
-        source width) — positions 0 (decoder start) and 1 filled."""
+        source width) — positions 0 (decoder start) and 1 filled. A
+        sampling engine needs ``rngs``: (W,) per-arrival keys so token 1
+        is drawn from each request's own stream."""
         if enc.shape[1] != self.source_width:
             raise ValueError(
                 f"prefill width {enc.shape[1]} != engine source width "
                 f"{self.source_width}")
         ml, rp, nr = self.gen
+        ds, t, k, p = self.sample
+        if ds and rngs is None:
+            raise ValueError("sampling engine: prefill requires per-"
+                             "arrival rngs keys")
         return stream_init(self.model, self.params, enc, enc_mask,
-                           self.max_length, False, 1.0, 0, 1.0, ml, rp, nr)
+                           self.max_length, ds, t, k, p, ml, rp, nr,
+                           rngs if ds else None)
 
     def insert(self, pre: StreamState, enc: jax.Array, enc_mask: jax.Array,
-               j: int, tag: Any,
-               max_length: Optional[int] = None) -> int:
-        """Insert prefill row ``j`` into a free slot; returns the slot."""
+               j: int, tag: Any, max_length: Optional[int] = None,
+               rng: Optional[jax.Array] = None) -> int:
+        """Insert prefill row ``j`` into a free slot; returns the slot.
+        ``rng`` is the request's sampling key (the same key its prefill
+        row was drawn with); ignored by greedy engines."""
         free = np.flatnonzero(~self.active)
         if free.size == 0:
             raise RuntimeError("no free slot")
@@ -259,7 +290,9 @@ class DecodeEngine:
         slot = int(free[0])
         self.state = _engine_insert(self.state, pre, enc, enc_mask,
                                     jnp.asarray(j, jnp.int32),
-                                    jnp.asarray(slot, jnp.int32))
+                                    jnp.asarray(slot, jnp.int32),
+                                    jax.random.key(0) if rng is None
+                                    else rng)
         self.active[slot] = True
         self.row_max[slot] = m
         self._tags[slot] = tag
@@ -279,10 +312,11 @@ class DecodeEngine:
         caller can do admission/encode work while both are in flight.
         """
         ml, rp, nr = self.gen
+        ds, t, k, p = self.sample
         self.state, flags = _engine_tick(
             self.model, self.params, self.state, self.max_length,
             self.chunk, jnp.asarray(self.active),
-            jnp.asarray(self.row_max), ml, rp, nr)
+            jnp.asarray(self.row_max), ml, rp, nr, ds, t, k, p)
         flags.copy_to_host_async()
         self._flags = flags
         # Reap must only trust flag rows for slots that were live at

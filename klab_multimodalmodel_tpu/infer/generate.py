@@ -79,8 +79,20 @@ def _select_next(logits, tokens, step, size, finished, do_sample,
                             no_repeat_ngram_size)
     if do_sample:
         logits = warp_logits(logits, temperature, top_k, top_p)
-        nxt = jax.random.categorical(
-            jax.random.fold_in(rng, step), logits).astype(jnp.int32)
+        if jnp.ndim(rng) > 0:
+            # Batched per-row keys (the continuous engine): every slot
+            # draws from its own request stream at its own absolute step.
+            # Row i is bit-identical to a B=1 ``sample_decode`` with key
+            # ``rng[i]``: the (V,) per-row categorical consumes the same
+            # threefry bits as the (1, V) single-request draw.
+            steps = jnp.broadcast_to(jnp.asarray(step),
+                                     (logits.shape[0],))
+            keys = jax.vmap(jax.random.fold_in)(rng, steps)
+            nxt = jax.vmap(jax.random.categorical)(keys,
+                                                   logits).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(
+                jax.random.fold_in(rng, step), logits).astype(jnp.int32)
     else:
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.where(finished, size.pad_token_id, nxt)

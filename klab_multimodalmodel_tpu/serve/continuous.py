@@ -11,10 +11,11 @@ stays full and admission latency is bounded by ``chunk`` steps, not by
 ``max_length``.
 
 Scope: the engine decodes the reference's generation config (greedy,
-default processor chain). Everything else — beams, sampling, penalties,
-prompts wider than the engine width, max_length beyond the engine buffer —
-transparently falls back to the inherited dynamic-batcher path, so the
-public API is unchanged.
+default processor chain) and, when configured with ``engine_do_sample``,
+sampled requests whose warper config matches the engine's. Everything else
+— beams, mismatched sampling configs, penalties, prompts wider than the
+engine width, max_length beyond the engine buffer — transparently falls
+back to the inherited dynamic-batcher path, so the public API is unchanged.
 """
 
 from __future__ import annotations
@@ -39,15 +40,17 @@ _ADMIT_IDLE_WAIT_S = 0.050  # idle scheduler wakeup bound (cv-notified)
 
 
 class _EngineRequest:
-    __slots__ = ("image", "src_ids", "src_mask", "max_length", "event",
-                 "result", "error", "t_enqueue", "abandoned")
+    __slots__ = ("image", "src_ids", "src_mask", "max_length", "seed",
+                 "event", "result", "error", "t_enqueue", "abandoned")
 
     def __init__(self, image: np.ndarray, src_ids: np.ndarray,
-                 src_mask: np.ndarray, max_length: int):
+                 src_mask: np.ndarray, max_length: int,
+                 seed: Optional[int] = None):
         self.image = image
         self.src_ids = src_ids
         self.src_mask = src_mask
         self.max_length = max_length
+        self.seed = seed
         self.event = threading.Event()
         self.result: Any = None
         self.error: Optional[BaseException] = None
@@ -66,13 +69,19 @@ class EngineScheduler:
 
     def __init__(self, captioner, text_width: int, slots: int = 16,
                  chunk: int = 4, max_prefill: int = 8,
-                 max_length: int = 20):
+                 max_length: int = 20, do_sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0):
         self.captioner = captioner
         self.text_width = text_width
         self.slots = slots
         self.chunk = chunk
         self.max_prefill = max_prefill
         self.max_length = max_length
+        # Engine-wide sampling config (one compiled tick); each request
+        # still samples from its OWN rng stream via a per-slot key.
+        self.sample = (do_sample, temperature, top_k, top_p)
+        self._seed_counter = 0
         self._lock = threading.Lock()
         self.stats = BatchStats(lock=self._lock)
         self._cv = threading.Condition(self._lock)
@@ -87,12 +96,18 @@ class EngineScheduler:
     # -- request side --------------------------------------------------------
     def submit(self, image: np.ndarray, src_ids: np.ndarray,
                src_mask: np.ndarray, max_length: int,
-               timeout: Optional[float]) -> tuple[np.ndarray, int]:
-        """Returns (token_row, n_valid); raises on timeout/engine failure."""
-        req = _EngineRequest(image, src_ids, src_mask, max_length)
+               timeout: Optional[float],
+               seed: Optional[int] = None) -> tuple[np.ndarray, int]:
+        """Returns (token_row, n_valid); raises on timeout/engine failure.
+        ``seed`` keys a sampling engine's per-request draw stream (a fresh
+        one is assigned when omitted); greedy engines ignore it."""
+        req = _EngineRequest(image, src_ids, src_mask, max_length, seed)
         with self._cv:
             if self._closed:
                 raise RuntimeError("scheduler is closed")
+            if req.seed is None:
+                self._seed_counter += 1
+                req.seed = self._seed_counter
             self.stats.requests += 1
             self._queue.append(req)
             self._cv.notify()
@@ -159,11 +174,13 @@ class EngineScheduler:
         # (image patch tokens + text tokens) — discover it, plus the
         # activation dtype, from one dummy encode.
         enc, _ = cap.encode_tokens(dummy, ids, mask)
+        ds, t, k, p = self.sample
         self._engine = DecodeEngine(
             cap.model.transformer_module(), cap._decode_params,
             slots=self.slots, source_width=enc.shape[1],
             d_model=enc.shape[2], max_length=self.max_length,
-            chunk=self.chunk, enc_dtype=enc.dtype)
+            chunk=self.chunk, enc_dtype=enc.dtype, do_sample=ds,
+            temperature=t, top_k=k, top_p=p)
 
     def _take_admission(self) -> list[_EngineRequest]:
         """Pop up to min(free slots, max_prefill) live requests."""
@@ -197,10 +214,18 @@ class EngineScheduler:
                 [mask, np.broadcast_to(mask[:1], (pad,) + mask.shape[1:])],
                 axis=0)
         enc, emask = self.captioner.encode_tokens(images, ids, mask)
-        pre = self._engine.prefill(enc, emask)
+        keys = None
+        if self.sample[0]:
+            import jax
+
+            seeds = [req.seed or 0 for req in reqs]
+            seeds += [0] * (bucket - n)  # pad rows: never inserted
+            keys = jax.vmap(jax.random.key)(np.asarray(seeds, np.uint32))
+        pre = self._engine.prefill(enc, emask, rngs=keys)
         for j, req in enumerate(reqs):
             self._engine.insert(pre, enc, emask, j, tag=req,
-                                max_length=req.max_length)
+                                max_length=req.max_length,
+                                rng=None if keys is None else keys[j])
         with self._lock:
             self.stats.batches += 1
             self.stats.rows += n
@@ -310,10 +335,11 @@ class ContinuousCaptionService(CaptionService):
     """:class:`CaptionService` with continuous batching for the greedy
     default-chain path (`klab-serve --continuous`).
 
-    Requests the engine can't serve — beams, sampling, processor chains,
-    prompts wider than ``text_width``, ``max_length`` past the engine
-    buffer — fall back to the inherited dynamic batcher, so every
-    CaptionService behavior (including /caption_stream) keeps working.
+    Requests the engine can't serve — beams, sampling configs other than
+    the engine's own, processor chains, prompts wider than ``text_width``,
+    ``max_length`` past the engine buffer — fall back to the inherited
+    dynamic batcher, so every CaptionService behavior (including
+    /caption_stream) keeps working.
     """
 
     def __init__(self, config: Config, params: Any,
@@ -322,7 +348,10 @@ class ContinuousCaptionService(CaptionService):
                  max_gen_length: int = 128, stream_chunk: int = 4,
                  device=None, slots: int = 16, engine_chunk: int = 4,
                  max_prefill: int = 8,
-                 engine_text_width: Optional[int] = None):
+                 engine_text_width: Optional[int] = None,
+                 engine_do_sample: bool = False,
+                 engine_temperature: float = 1.0, engine_top_k: int = 0,
+                 engine_top_p: float = 1.0):
         super().__init__(config, params, tokenizer, max_batch=max_batch,
                          window_ms=window_ms, decode_int8=decode_int8,
                          max_gen_length=max_gen_length,
@@ -339,7 +368,9 @@ class ContinuousCaptionService(CaptionService):
         self._scheduler = EngineScheduler(
             self.captioner, text_width=self.engine_text_width, slots=slots,
             chunk=engine_chunk, max_prefill=max_prefill,
-            max_length=config.generate_max_length)
+            max_length=config.generate_max_length,
+            do_sample=engine_do_sample, temperature=engine_temperature,
+            top_k=engine_top_k, top_p=engine_top_p)
         self._stats_view = _MergedStats(self._scheduler.stats,
                                         self._batcher.stats,
                                         self._scheduler)
@@ -349,7 +380,15 @@ class ContinuousCaptionService(CaptionService):
         return self._stats_view
 
     def _engine_eligible(self, gen: GenParams) -> bool:
-        return (gen.num_beams == 1 and not gen.do_sample
+        # Sampling routes to the engine only when the request's warper
+        # config matches the engine's compiled tick (do_sample and the
+        # temperature/top_k/top_p triple are engine-wide statics; the rng
+        # stream is per-request either way).
+        ds, t, k, p = self._scheduler.sample
+        sample_ok = (gen.do_sample == ds
+                     and (not ds or (gen.temperature, gen.top_k,
+                                     gen.top_p) == (t, k, p)))
+        return (gen.num_beams == 1 and sample_ok
                 and gen.min_length == 0 and gen.repetition_penalty == 1.0
                 and gen.no_repeat_ngram_size == 0
                 and 2 <= gen.max_length <= self._scheduler.max_length)
