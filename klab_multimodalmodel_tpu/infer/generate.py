@@ -79,7 +79,12 @@ def _select_next(logits, tokens, step, size, finished, do_sample,
                             no_repeat_ngram_size)
     if do_sample:
         logits = warp_logits(logits, temperature, top_k, top_p)
-        if jnp.ndim(rng) > 0:
+        # Batched per-row keys: ndim > 0 for typed key arrays, > 1 for
+        # old-style uint32 (2,) keys (whose scalar form is already 1-D).
+        batched = (rng.ndim > 0
+                   if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                   else rng.ndim > 1)
+        if batched:
             # Batched per-row keys (the continuous engine): every slot
             # draws from its own request stream at its own absolute step.
             # Row i is bit-identical to a B=1 ``sample_decode`` with key

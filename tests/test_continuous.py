@@ -166,3 +166,62 @@ def test_http_end_to_end_continuous(cont_service, rng):
         assert "engine_slots" in stats and "fallback" in stats
     finally:
         server.stop()
+
+
+def test_sampling_engine_routes_and_falls_back(rng):
+    """A sampling-configured engine serves matching sampled requests on
+    the engine path (zero fallback) and routes greedy/mismatched-warper
+    requests to the dynamic batcher."""
+    import jax
+
+    from klab_multimodalmodel_tpu.config import (Config, SwinV2Size, T5Size,
+                                                 register_swin_size,
+                                                 register_t5_size)
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+    from klab_multimodalmodel_tpu.serve.continuous import (
+        ContinuousCaptionService)
+    from klab_multimodalmodel_tpu.serve.service import GenParams
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    register_t5_size("t5-cont-micro", T5Size(
+        d_model=32, d_kv=8, d_ff=64, num_layers=1, num_decoder_layers=1,
+        num_heads=4, vocab_size=512, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0))
+    register_swin_size("swin-cont-micro", SwinV2Size(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0)))
+    cfg = Config(language_model_name="t5-cont-micro",
+                 transformer_model_name="t5-cont-micro",
+                 image_model_name="swin-cont-micro",
+                 max_source_length=32, generate_max_length=6,
+                 compute_dtype="float32", scan_unroll=1)
+    model = MultiModalModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, cfg.max_source_length), np.int32),
+        np.zeros((1, 4), np.int32))["params"]
+    service = ContinuousCaptionService(
+        cfg, params, ByteTokenizer(), max_batch=4, window_ms=10.0,
+        slots=4, engine_chunk=2, max_prefill=4,
+        engine_do_sample=True, engine_temperature=0.8)
+    try:
+        png = _png_bytes(rng)
+        sampled = GenParams(max_length=6, num_beams=1, do_sample=True,
+                            temperature=0.8)
+        out = service.caption_bytes(png, gen=sampled)
+        assert isinstance(out, str)
+        snap = service.stats.snapshot()
+        assert snap["requests"] >= 1
+        assert snap["fallback"]["requests"] == 0  # engine path
+
+        # Greedy no longer matches the sampling tick -> fallback; so does
+        # a different temperature.
+        service.caption_bytes(png, gen=GenParams(max_length=6,
+                                                 num_beams=1))
+        service.caption_bytes(png, gen=GenParams(
+            max_length=6, num_beams=1, do_sample=True, temperature=0.5))
+        assert service.stats.snapshot()["fallback"]["requests"] == 2
+    finally:
+        service.close()

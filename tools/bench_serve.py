@@ -59,7 +59,7 @@ def _drive(submit, payloads: list[bytes], concurrency: int,
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
             try:
-                submit(payloads[k % len(payloads)])
+                submit(payloads[k % len(payloads)], k)
             except Exception:
                 with lock:
                     errors[0] += 1
@@ -97,6 +97,13 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--max_length", type=int, default=20,
                     help="decode length (HF default 20, BASELINE metric 3)")
+    ap.add_argument("--mixed_lengths", default="",
+                    help="comma list (e.g. 20,64,128): request k uses the "
+                         "k-th length of the mix as its max_length — the "
+                         "heterogeneous workload where continuous "
+                         "batching's admission advantage can show "
+                         "(uniform lengths structurally favor the "
+                         "dynamic batcher; BASELINE.md r3)")
     ap.add_argument("--http", action="store_true",
                     help="drive through the loopback HTTP server instead "
                          "of the in-process service")
@@ -123,10 +130,13 @@ def main() -> None:
     from klab_multimodalmodel_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    mixed = ([int(x) for x in args.mixed_lengths.split(",")]
+             if args.mixed_lengths else [])
     cfg = Config(language_model_name="t5-base",
                  transformer_model_name="t5-base",
                  max_source_length=64, compute_dtype="bfloat16",
-                 generate_max_length=args.max_length)
+                 generate_max_length=(max(mixed) if mixed
+                                      else args.max_length))
     model = MultiModalModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3), dtype=np.uint8))
@@ -168,16 +178,30 @@ def main() -> None:
         server.start(warmup=False)
         url = f"http://127.0.0.1:{server.port}/caption"
 
-        def submit(data: bytes) -> None:
-            body = json.dumps(
-                {"image_b64": base64.b64encode(data).decode()}).encode()
+        def submit(data: bytes, k: int = 0) -> None:
+            payload = {"image_b64": base64.b64encode(data).decode()}
+            if mixed:
+                payload["max_length"] = mixed[k % len(mixed)]
+            body = json.dumps(payload).encode()
             req = urllib.request.Request(
                 url, data=body,
                 headers={"Content-Type": "application/json"})
             with urllib.request.urlopen(req, timeout=300) as r:
                 json.loads(r.read())
     else:
-        submit = service.caption_bytes
+        from klab_multimodalmodel_tpu.serve.service import GenParams
+
+        def submit(data: bytes, k: int = 0) -> None:
+            gen = (GenParams(max_length=mixed[k % len(mixed)])
+                   if mixed else None)
+            service.caption_bytes(data, gen=gen)
+
+    if mixed:
+        # Pre-compile every length in the mix (max_length is a static of
+        # the decode programs) so the timed window measures steady state.
+        print(f"warming mixed lengths {mixed}...", file=sys.stderr)
+        for i in range(len(mixed)):
+            submit(payloads[0], i)
 
     results = []
     for c in (int(x) for x in args.concurrency.split(",")):
@@ -193,6 +217,8 @@ def main() -> None:
         if args.continuous:
             r["mode"] = f"continuous(slots={args.slots}," \
                         f"chunk={args.engine_chunk})"
+        if mixed:
+            r["mixed_lengths"] = mixed
         results.append(r)
         print(json.dumps(r))
 
