@@ -55,6 +55,28 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables at every module boundary.
+
+    A single pytest process compiles thousands of XLA programs across the
+    273-test suite; the live executables' code mappings accumulate until a
+    late big compile segfaults inside ``backend_compile_and_load`` (r3 hit
+    it at 92% in test_train, r4 at 84% in test_swinv2_golden — always deep
+    into the run, always fine in isolation, on a host with the default
+    ``vm.max_map_count``). Dropping the jit caches once per module keeps
+    the live set bounded; modules recompile what they still need (the
+    per-session persistent compile cache makes that cheap).
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -38,6 +38,9 @@ FLAGSHIP_BUCKETED_BASELINE_IMG_S = 216.0
 
 
 def main() -> None:
+    if os.environ.get("KLAB_FLAGSHIP_SKIP_PADDED"):
+        bucketed_main()
+        return
     import jax
 
     from klab_multimodalmodel_tpu.config import Config
@@ -139,11 +142,12 @@ def bucketed_main() -> None:
     from klab_multimodalmodel_tpu.utils.bucketing import pow2_bucket_width
 
     B = int(os.environ.get("KLAB_FLAGSHIP_BUCKET_BATCH", "64"))
+    remat = os.environ.get("KLAB_FLAGSHIP_REMAT", "dots_saveable")
     cfg = Config(
         max_source_length=64, max_target_length=32, batch_size=B,
         bucket_lengths=True, compute_dtype="bfloat16",
         optimizer="adafactor", frozen_param_dtype="bfloat16",
-        remat="dots_saveable", scan_unroll=1, mesh_shape=(-1, 1, 1),
+        remat=remat, scan_unroll=1, mesh_shape=(-1, 1, 1),
         data_dir="synthetic")
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     trainer = Trainer(cfg, mesh, num_epochs=1)
@@ -184,7 +188,8 @@ def bucketed_main() -> None:
     rate = B * n_steps / dt
     print(json.dumps({
         "metric": "flagship train throughput, bucketed lengths "
-                  f"({sb}/{tb} COCO-realistic, batch {B}/chip)",
+                  f"({sb}/{tb} COCO-realistic, batch {B}/chip, "
+                  f"remat={remat or 'off'})",
         "value": round(rate, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / FLAGSHIP_BUCKETED_BASELINE_IMG_S, 2),

@@ -192,7 +192,8 @@ def main() -> None:
         from klab_multimodalmodel_tpu.serve.service import GenParams
 
         def submit(data: bytes, k: int = 0) -> None:
-            gen = (GenParams(max_length=mixed[k % len(mixed)])
+            gen = (GenParams(max_length=mixed[k % len(mixed)],
+                             num_beams=1)
                    if mixed else None)
             service.caption_bytes(data, gen=gen)
 

@@ -30,9 +30,16 @@ def measure(use_pallas: bool, n_steps: int = 20) -> float:
     enable_compile_cache()
     n_dev = len(jax.devices())
     batch_per_chip = int(os.environ.get("KLAB_BENCH_BATCH", "32"))
-    cfg = Config(language_model_name="t5-base",
-                 transformer_model_name="t5-base",
-                 max_source_length=64, max_target_length=32,
+    # Sequence-length/model overrides: the 0.86x r2 verdict was measured
+    # only at 64/32 (enc 64 img + 64 text = 128 tokens); flash-style fusion
+    # pays at longer L, so the r4 re-bench sweeps KLAB_BENCH_SRC_LEN=256
+    # (enc 320 tokens) per VERDICT r3 item 3.
+    src_len = int(os.environ.get("KLAB_BENCH_SRC_LEN", "64"))
+    tgt_len = int(os.environ.get("KLAB_BENCH_TGT_LEN", "32"))
+    model_name = os.environ.get("KLAB_BENCH_MODEL", "t5-base")
+    cfg = Config(language_model_name=model_name,
+                 transformer_model_name=model_name,
+                 max_source_length=src_len, max_target_length=tgt_len,
                  batch_size=batch_per_chip, compute_dtype="bfloat16",
                  mesh_shape=(-1, 1, 1), data_dir="synthetic",
                  use_pallas_t5_attention=use_pallas)
@@ -68,8 +75,12 @@ def measure(use_pallas: bool, n_steps: int = 20) -> float:
 def main() -> None:
     xla = measure(False)
     pallas = measure(True)
+    src_len = os.environ.get("KLAB_BENCH_SRC_LEN", "64")
+    tgt_len = os.environ.get("KLAB_BENCH_TGT_LEN", "32")
+    model_name = os.environ.get("KLAB_BENCH_MODEL", "t5-base")
     print(json.dumps({
-        "metric": "t5 fused-attention pallas vs xla (full train step)",
+        "metric": "t5 fused-attention pallas vs xla (full train step, "
+                  f"{model_name}, {src_len}/{tgt_len})",
         "xla_img_per_sec": round(xla, 2),
         "pallas_img_per_sec": round(pallas, 2),
         "ratio": round(pallas / xla, 4),
