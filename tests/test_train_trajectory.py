@@ -166,3 +166,80 @@ def test_kstep_trajectory_matches_torch_reference_loop():
         got, _hf_towers()[2].shared.weight.detach().numpy(), atol=1e-6), (
         "embedding never updated: the optimizer step is a no-op")
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-5)
+
+
+def test_kstep_accumulation_trajectory_matches_torch():
+    """Gradient accumulation, end to end vs the reference loop
+    (train.py:61-71): per microbatch the torch side computes loss,
+    divides by accumulation_steps, backwards; every 2nd microbatch it
+    steps Adam + the cosine schedule. The framework consumes the same 12
+    microbatches as 6 scan-accumulated train_steps of 2 microbatches
+    each; per-update losses (mean of the group's microbatch losses, what
+    train_step returns) must track torch's."""
+    towers = _hf_towers()
+    batches = _batches(12)
+    accum = 2
+    lang, swin, lm = towers
+    # Convert AND deep-copy BEFORE the torch loop: state_dict() tensors
+    # share storage with the live model, .numpy() keeps that sharing, and
+    # even jnp.asarray can alias the numpy buffer on CPU (zero-copy) — so
+    # torch's in-place Adam updates would silently leak into the
+    # "initial" framework params. np.array(copy=True) severs all of it.
+    params = jax.tree.map(lambda x: np.array(x, copy=True), {
+        "language_model": convert_t5_encoder(lang.state_dict(), TINY_T5),
+        "image_model": convert_swinv2(swin.state_dict(), TINY_SWIN),
+        "transformer": convert_t5_lm(lm.state_dict(), TINY_T5),
+    })
+
+    # torch side
+    lm.train()
+    opt = torch.optim.Adam(lm.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=NUM_EPOCHS, eta_min=0)
+    torch_losses = []
+    group = []
+    for i, b in enumerate(batches):
+        images = torch.tensor(np.asarray(
+            normalize_images(jnp.asarray(b["images"]))).transpose(
+                0, 3, 1, 2))
+        with torch.no_grad():
+            lang_emb = lang(
+                input_ids=torch.tensor(b["source_ids"])).last_hidden_state
+            img_emb = swin(images).last_hidden_state
+        loss = lm(inputs_embeds=torch.cat((img_emb, lang_emb), dim=1),
+                  labels=torch.tensor(
+                      b["target_ids"].astype(np.int64))).loss
+        group.append(loss.item())
+        (loss / accum).backward()
+        if (i + 1) % accum == 0:
+            opt.step()
+            opt.zero_grad()
+            sched.step()
+            torch_losses.append(sum(group) / len(group))
+            group = []
+
+    # framework side: same microbatches, 2 per compiled step
+    cfg = Config(language_model_name="t5-tiny-traj",
+                 transformer_model_name="t5-tiny-traj",
+                 image_model_name="swin-tiny-traj",
+                 lr=LR, lr_scheduler="cosine", compute_dtype="float32",
+                 use_vision_projection=False, reference_pad_quirks=True,
+                 accumulation_steps=accum,
+                 max_source_length=7, max_target_length=5)
+    trainer = Trainer(cfg, make_mesh(cfg.mesh_shape),
+                      num_epochs=NUM_EPOCHS)
+    state = trainer.init_state(jax.random.PRNGKey(0), BATCH * accum)
+    conv = jax.tree.map(jnp.asarray, params)
+    state = TrainState(step=state.step, params=conv,
+                       opt_state=trainer.tx.init(conv))
+    fw_losses = []
+    for i in range(0, len(batches), accum):
+        merged = {k: np.concatenate([batches[i + j][k] for j in
+                                     range(accum)], axis=0)
+                  for k in batches[i]}
+        state, loss = trainer.train_step(
+            state, trainer.device_put_batch(merged), jax.random.PRNGKey(i))
+        fw_losses.append(float(loss))
+
+    np.testing.assert_allclose(fw_losses, torch_losses, rtol=2e-4,
+                               atol=1e-5)
