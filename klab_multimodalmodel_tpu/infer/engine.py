@@ -49,6 +49,28 @@ from ..models.t5 import T5ForConditionalGeneration
 from .generate import StreamState, _select_next, _step, stream_init
 
 
+def _as_typed_keys(rngs: jax.Array) -> jax.Array:
+    """Normalize sampling keys to new-style typed key arrays.
+
+    ``EngineState.rngs`` stores typed keys (``jax.random.key``); a caller
+    passing legacy ``(2,)``-uint32 PRNGKeys (or a ``(W, 2)`` batch) to
+    ``prefill``/``insert`` would otherwise hit an opaque dtype/shape
+    mismatch inside ``_engine_insert``'s dynamic_update_slice.
+    ``wrap_key_data`` preserves the raw threefry words, so legacy and
+    typed callers draw identical token streams (``_select_next`` folds
+    the same bits either way).
+    """
+    rngs = jnp.asarray(rngs)
+    if jnp.issubdtype(rngs.dtype, jax.dtypes.prng_key):
+        return rngs
+    if rngs.dtype != jnp.uint32 or rngs.shape[-1:] != (2,):
+        raise ValueError(
+            "sampling keys must be typed jax.random.key arrays or "
+            f"old-style (..., 2) uint32 PRNGKeys; got dtype={rngs.dtype} "
+            f"shape={rngs.shape}")
+    return jax.random.wrap_key_data(rngs)
+
+
 class EngineState(NamedTuple):
     """Resident device state of the continuous decode batch.
 
@@ -272,7 +294,7 @@ class DecodeEngine:
                              "arrival rngs keys")
         return stream_init(self.model, self.params, enc, enc_mask,
                            self.max_length, ds, t, k, p, ml, rp, nr,
-                           rngs if ds else None)
+                           _as_typed_keys(rngs) if ds else None)
 
     def insert(self, pre: StreamState, enc: jax.Array, enc_mask: jax.Array,
                j: int, tag: Any, max_length: Optional[int] = None,
@@ -292,7 +314,7 @@ class DecodeEngine:
                                     jnp.asarray(j, jnp.int32),
                                     jnp.asarray(slot, jnp.int32),
                                     jax.random.key(0) if rng is None
-                                    else rng)
+                                    else _as_typed_keys(rng))
         self.active[slot] = True
         self.row_max[slot] = m
         self._tags[slot] = tag

@@ -50,7 +50,10 @@ def embed_tokens(embed: nn.Embed, ids: jax.Array) -> jax.Array:
     MULTICHIP_r03.json. The TPU idiom is a one-hot matmul: each shard
     contracts only its local vocab rows and the partitioner finishes with a
     psum over ``tensor`` — MXU-friendly, and bit-exact with the gather
-    (each output element is a single product by an exact 1.0). Falls back
+    (each output element is a single product by an exact 1.0; the matmul
+    runs at ``Precision.HIGHEST`` — the T5X/flaxformer one-hot-embed idiom
+    — so a float32 table is NOT truncated to bf16 by the TPU default
+    matmul precision, keeping f32 TP runs bit-exact too). Falls back
     to the plain gather when the ambient mesh has no nontrivial ``tensor``
     axis, so single-chip and DP/FSDP compilations are unchanged.
     """
@@ -59,7 +62,8 @@ def embed_tokens(embed: nn.Embed, ids: jax.Array) -> jax.Array:
     table = jnp.asarray(embed.embedding, embed.dtype)
     hot = jax.nn.one_hot(ids, table.shape[0], dtype=table.dtype)
     return jax.lax.dot_general(hot, table,
-                               (((ids.ndim,), (0,)), ((), ())))
+                               (((ids.ndim,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ back to the inherited dynamic-batcher path, so the public API is unchanged.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 import time
 from typing import Any, Optional
@@ -82,6 +83,11 @@ class EngineScheduler:
         # still samples from its OWN rng stream via a per-slot key.
         self.sample = (do_sample, temperature, top_k, top_p)
         self._seed_counter = 0
+        # Mixed into AUTO-assigned seeds only: without it a restarted
+        # service replays identical sampled captions for an identical
+        # request order (the counter restarts at 1). Explicit user seeds
+        # stay pure so seeded requests remain reproducible across runs.
+        self._seed_nonce = int.from_bytes(os.urandom(4), "little")
         self._lock = threading.Lock()
         self.stats = BatchStats(lock=self._lock)
         self._cv = threading.Condition(self._lock)
@@ -107,7 +113,15 @@ class EngineScheduler:
                 raise RuntimeError("scheduler is closed")
             if req.seed is None:
                 self._seed_counter += 1
-                req.seed = self._seed_counter
+                req.seed = (self._seed_counter
+                            + self._seed_nonce) % (1 << 32)
+            else:
+                # np.uint32 would wrap negative / oversized seeds silently
+                # — two "different" seeds could alias; reject instead.
+                req.seed = int(req.seed)
+                if not 0 <= req.seed < (1 << 32):
+                    raise ValueError(
+                        f"seed must be in [0, 2**32), got {req.seed}")
             self.stats.requests += 1
             self._queue.append(req)
             self._cv.notify()

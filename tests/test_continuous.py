@@ -223,5 +223,20 @@ def test_sampling_engine_routes_and_falls_back(rng):
         service.caption_bytes(png, gen=GenParams(
             max_length=6, num_beams=1, do_sample=True, temperature=0.5))
         assert service.stats.snapshot()["fallback"]["requests"] == 2
+
+        # Seed hygiene (ADVICE r4): explicit seeds are validated — not
+        # silently wrapped by np.uint32 — and reproducible per seed.
+        from klab_multimodalmodel_tpu.data.datasets import (
+            COCO_PROMPT, load_image_bytes_resized)
+
+        img = load_image_bytes_resized(png, cfg.swin.image_size)
+        ids, mask, fits = service._tokenize_for_engine(COCO_PROMPT)
+        assert fits
+        for bad in (-1, 1 << 32):
+            with pytest.raises(ValueError, match="seed"):
+                service._scheduler.submit(img, ids, mask, 6, 30.0, seed=bad)
+        a = service._scheduler.submit(img, ids, mask, 6, 30.0, seed=7)
+        b = service._scheduler.submit(img, ids, mask, 6, 30.0, seed=7)
+        np.testing.assert_array_equal(a[0][:a[1]], b[0][:b[1]])
     finally:
         service.close()

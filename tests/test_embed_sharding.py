@@ -143,6 +143,30 @@ def test_embed_tokens_bitexact_with_gather_on_same_mesh():
                                   np.asarray(table)[np.asarray(ids)])
 
 
+def test_embed_tokens_onehot_uses_highest_precision():
+    """ADVICE r4 (medium): the TPU default matmul precision would truncate
+    a float32 table to bf16 inside the one-hot dot_general — breaking the
+    bit-exactness contract on hardware even though CPU tests (where f32
+    dots are exact at any setting) can't observe it. Pin the T5X idiom:
+    the lookup dot_general must carry Precision.HIGHEST in the trace."""
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, ids):
+            emb = nn.Embed(SIZE.vocab_size, SIZE.d_model, name="shared")
+            return t5_mod.embed_tokens(emb, ids)
+
+    ids = jnp.zeros((2, 4), jnp.int32)
+    p = {"params": {"shared": {"embedding": jnp.zeros(
+        (SIZE.vocab_size, SIZE.d_model), jnp.float32)}}}
+    mesh = make_mesh((2, 2, 2, 1, 1, 1))
+    with mesh:
+        jaxpr = str(jax.make_jaxpr(lambda v, i: Wrap().apply(v, i))(p, ids))
+    assert "dot_general" in jaxpr and "HIGHEST" in jaxpr, (
+        f"one-hot embed lookup lost Precision.HIGHEST:\n{jaxpr[-1500:]}")
+
+
 def test_embed_tokens_gather_fallback_off_mesh():
     """Without an ambient tensor axis the lookup IS the plain gather —
     single-chip and DP/FSDP compilations unchanged."""

@@ -311,6 +311,33 @@ def test_engine_sampling_batched_prefill_rows(setup, rng):
         np.testing.assert_array_equal(row, ref[0], err_msg=f"request {i}")
 
 
+def test_engine_sampling_accepts_legacy_uint32_keys(setup, rng):
+    """Old-style (2,)-uint32 PRNGKeys are normalized at the engine
+    boundary (ADVICE r4): the same raw key words draw the identical token
+    stream as typed keys, and malformed keys fail with a clear message
+    instead of a shape error inside the jitted insert."""
+    model, params = setup
+    reqs = _sample_requests(model, params, rng, 2, (1.0, 0, 1.0))
+    engine = DecodeEngine(model, params, slots=3, source_width=SRC_W,
+                          d_model=TINY.d_model, max_length=MAX_LEN, chunk=2,
+                          enc_dtype=reqs[0][0].dtype, do_sample=True)
+    enc = jnp.concatenate([r[0] for r in reqs], axis=0)
+    mask = jnp.concatenate([r[1] for r in reqs], axis=0)
+    typed = jnp.concatenate([r[2][None] for r in reqs], axis=0)
+    legacy = jax.random.key_data(typed)          # (2, 2) uint32
+    assert legacy.dtype == jnp.uint32
+    pre = engine.prefill(enc, mask, rngs=legacy)
+    for j in range(2):
+        engine.insert(pre, enc, mask, j, tag=j, rng=legacy[j])
+    results = {}
+    _drain(engine, results)
+    for i, (_, _, _, ref) in enumerate(reqs):
+        np.testing.assert_array_equal(results[i][0], ref[0],
+                                      err_msg=f"request {i}")
+    with pytest.raises(ValueError, match="typed"):
+        engine.prefill(enc, mask, rngs=jnp.zeros((2, 3), jnp.float32))
+
+
 def test_engine_sampling_prefill_requires_keys(setup, rng):
     model, params = setup
     (enc, mask, _, _), = _sample_requests(model, params, rng, 1,
