@@ -7,6 +7,7 @@ load checkpoint, preprocess one image, greedy-generate, decode with
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -84,6 +85,13 @@ class Captioner:
         # sequential decode loop (infer/quantize.py). The encoder prefill
         # (one batched forward) keeps full-precision params; only the
         # per-step HBM weight stream shrinks.
+        # KLAB_DECODE_SPECULATIVE=<K>: opt the plain-greedy decode into
+        # prompt-lookup speculative decoding with draft length K
+        # (infer/speculative.py; token-identical output, fewer decoder
+        # passes when drafts accept — measured in BASELINE.md). Same
+        # env-lever family as KLAB_DECODE_INT8.
+        self._speculative_draft = int(
+            os.environ.get("KLAB_DECODE_SPECULATIVE", "0"))
         self._decode_params = params["transformer"]
         if decode_int8:
             from .quantize import quantize_for_decode
@@ -142,7 +150,8 @@ class Captioner:
             do_sample=do_sample, temperature=temperature, top_k=top_k,
             top_p=top_p, rng=rng, min_length=min_length,
             repetition_penalty=repetition_penalty,
-            no_repeat_ngram_size=no_repeat_ngram_size)
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            speculative_draft=self._speculative_draft)
 
     def caption_finish(self, ids: jax.Array) -> list[str]:
         """Block on the device read and detokenize (host work)."""

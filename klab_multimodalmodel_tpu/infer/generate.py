@@ -623,7 +623,8 @@ def generate(model: T5ForConditionalGeneration, params: Any,
              temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
              rng: Optional[jax.Array] = None, min_length: int = 0,
              repetition_penalty: float = 1.0,
-             no_repeat_ngram_size: int = 0) -> jax.Array:
+             no_repeat_ngram_size: int = 0,
+             speculative_draft: int = 0) -> jax.Array:
     """HF-default-compatible entry: greedy when ``num_beams == 1`` and
     ``do_sample=False`` (the reference's path), beam search for
     ``num_beams > 1``, ancestral sampling for ``do_sample=True`` (HF
@@ -632,7 +633,13 @@ def generate(model: T5ForConditionalGeneration, params: Any,
     ``min_length`` / ``repetition_penalty`` / ``no_repeat_ngram_size``
     reproduce HF's logits-processor chain in HF's order and placement
     (raw logits for greedy/sampling, log-probs for beam search); see
-    :func:`process_logits`."""
+    :func:`process_logits`.
+
+    ``speculative_draft > 0`` opts the plain-greedy path (no sampling,
+    beams, or processors) into prompt-lookup speculative decoding
+    (``infer/speculative.py``; token-identical, fewer decoder passes when
+    drafts accept). Non-greedy configs ignore it and take their normal
+    loops."""
     if do_sample:
         if num_beams > 1:
             raise ValueError("beam-search sampling is not supported; use "
@@ -644,6 +651,14 @@ def generate(model: T5ForConditionalGeneration, params: Any,
                              min_length, repetition_penalty,
                              no_repeat_ngram_size)
     if num_beams <= 1:
+        if (speculative_draft > 0 and min_length == 0
+                and repetition_penalty == 1.0
+                and no_repeat_ngram_size == 0):
+            from .speculative import speculative_greedy_decode
+
+            return speculative_greedy_decode(model, params, encoder_hidden,
+                                             encoder_mask, max_length,
+                                             draft_len=speculative_draft)
         return greedy_decode(model, params, encoder_hidden, encoder_mask,
                              max_length, min_length, repetition_penalty,
                              no_repeat_ngram_size)

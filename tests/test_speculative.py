@@ -1,0 +1,240 @@
+"""Exact speculative greedy decoding (infer/speculative.py).
+
+The whole value of the scheme is the exactness guarantee: accepted drafts
+are by construction the model's own argmax choices, so the output must be
+BIT-IDENTICAL to ``greedy_decode`` (which test_generate.py in turn pins
+token-exact against HF). Every test here is that differential, across
+batch sizes, encoder paddings, draft lengths, n-gram orders, eos
+placements, and max_length caps — plus unit pins on the n-gram drafter.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from klab_multimodalmodel_tpu.config import T5Size
+from klab_multimodalmodel_tpu.infer import (greedy_decode,
+                                            speculative_greedy_decode,
+                                            speculative_greedy_decode_with_stats)
+from klab_multimodalmodel_tpu.infer.speculative import _ngram_draft
+from klab_multimodalmodel_tpu.models import T5ForConditionalGeneration
+
+TINY = T5Size(d_model=32, d_kv=8, d_ff=64, num_layers=2,
+              num_decoder_layers=2, num_heads=4, vocab_size=48,
+              relative_attention_num_buckets=8,
+              relative_attention_max_distance=16, dropout_rate=0.0)
+
+SRC_W = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = T5ForConditionalGeneration(TINY)
+    ids = np.ones((2, SRC_W), np.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        labels=ids)["params"]
+    return model, params
+
+
+def _enc_batch(model, params, rng, batch, pad_counts=None):
+    ids = rng.integers(2, TINY.vocab_size, size=(batch, SRC_W)).astype(
+        np.int32)
+    mask = np.ones((batch, SRC_W), np.int32)
+    for b in range(batch):
+        n_pad = (int(rng.integers(0, 3)) if pad_counts is None
+                 else pad_counts[b])
+        if n_pad:
+            ids[b, SRC_W - n_pad:] = 0
+            mask[b, SRC_W - n_pad:] = 0
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      attention_mask=jnp.asarray(mask), method=model.encode)
+    return enc, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("draft_len,ngram", [(1, 1), (3, 2), (4, 2),
+                                             (6, 3)])
+def test_matches_greedy_across_draft_configs(setup, rng, draft_len, ngram):
+    model, params = setup
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        enc, mask = _enc_batch(model, params, r, batch=3)
+        ref = np.asarray(greedy_decode(model, params, enc, mask, 16))
+        got = np.asarray(speculative_greedy_decode(
+            model, params, enc, mask, 16, draft_len=draft_len, ngram=ngram))
+        np.testing.assert_array_equal(got, ref,
+                                      err_msg=f"seed={seed}")
+
+
+def test_matches_greedy_many_models(rng):
+    """Sweep model seeds too: different random weights change where eos
+    lands and how repetitive (draftable) the streams are."""
+    model = T5ForConditionalGeneration(TINY)
+    ids = np.ones((1, SRC_W), np.int32)
+    for mseed in range(3):
+        params = model.init(jax.random.PRNGKey(mseed), input_ids=ids,
+                            labels=ids)["params"]
+        r = np.random.default_rng(100 + mseed)
+        enc, mask = _enc_batch(model, params, r, batch=4)
+        for ml in (4, 9, 20):
+            ref = np.asarray(greedy_decode(model, params, enc, mask, ml))
+            got = np.asarray(speculative_greedy_decode(
+                model, params, enc, mask, ml, draft_len=4, ngram=2))
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"model={mseed} max_length={ml}")
+
+
+def test_stats_account_for_every_token(setup, rng):
+    """iters decoder passes × ≤(K+1) tokens cover the generated stream,
+    and banked-draft totals are consistent: generated = iters + accepted
+    summed over the batch only when every row runs to the cap — so check
+    the per-row inequality instead: n_generated_r <= iters + accepted_r,
+    and accepted_r <= (K) * iters."""
+    model, params = setup
+    r = np.random.default_rng(7)
+    enc, mask = _enc_batch(model, params, r, batch=3)
+    K = 4
+    tokens, iters, accepted = speculative_greedy_decode_with_stats(
+        model, params, enc, mask, 20, draft_len=K, ngram=2)
+    tokens, iters, accepted = (np.asarray(tokens), int(iters),
+                               np.asarray(accepted))
+    ref = np.asarray(greedy_decode(model, params, enc, mask, 20))
+    np.testing.assert_array_equal(tokens, ref)
+    assert iters >= 1
+    pad = TINY.pad_token_id
+    for b in range(tokens.shape[0]):
+        # tokens beyond position 0 that aren't pad (eos counts as
+        # generated); +1 for the primed token outside the loop.
+        n_gen = int((tokens[b, 1:] != pad).sum())
+        assert 0 <= accepted[b] <= K * iters
+        assert n_gen <= 1 + iters * (K + 1)
+
+
+def test_speculative_beats_sequential_pass_count_on_repetitive_stream():
+    """On a stream the drafter can predict (a cyclic greedy output), the
+    loop must take FEWER decoder passes than tokens generated — the whole
+    point of speculation. Build a model whose decode is cyclic by making
+    the forward depend only on position parity-ish structure: instead of
+    engineering weights, just assert on whatever random model produces a
+    repetitive stream (scan seeds until one repeats an n-gram)."""
+    model = T5ForConditionalGeneration(TINY)
+    ids = np.ones((1, SRC_W), np.int32)
+    for mseed in range(12):
+        params = model.init(jax.random.PRNGKey(mseed), input_ids=ids,
+                            labels=ids)["params"]
+        r = np.random.default_rng(mseed)
+        enc, mask = _enc_batch(model, params, r, batch=1)
+        ref = np.asarray(greedy_decode(model, params, enc, mask, 20))[0]
+        # Repetitive enough: some bigram repeats and no early eos.
+        row = ref[1:]
+        pad = TINY.pad_token_id
+        gen = row[row != pad]
+        if len(gen) < 16:
+            continue
+        bigrams = set()
+        repeats = False
+        for i in range(len(gen) - 1):
+            bg = (int(gen[i]), int(gen[i + 1]))
+            if bg in bigrams:
+                repeats = True
+                break
+            bigrams.add(bg)
+        if not repeats:
+            continue
+        tokens, iters, accepted = speculative_greedy_decode_with_stats(
+            model, params, enc, mask, 20, draft_len=4, ngram=2)
+        np.testing.assert_array_equal(np.asarray(tokens)[0], ref)
+        n_gen = int((np.asarray(tokens)[0, 1:] != pad).sum())
+        assert int(accepted[0]) > 0, "no draft accepted on a repetitive stream"
+        assert int(iters) < n_gen, (
+            f"speculation saved no passes: {int(iters)} passes for "
+            f"{n_gen} tokens")
+        return
+    pytest.skip("no random model produced a repetitive no-early-eos stream")
+
+
+def test_ngram_draft_finds_most_recent_continuation():
+    # Buffer: [S, 5, 6, 7, 5, 6, 9, 5, 6, *] at step=8 (last token 6);
+    # trailing bigram (5, 6) last occurred at p=4 -> continuation 9, 5 ...
+    tokens = jnp.asarray([[1, 5, 6, 7, 5, 6, 9, 5, 6, 0, 0, 0]],
+                         jnp.int32)
+    step = jnp.asarray([8], jnp.int32)
+    draft = np.asarray(_ngram_draft(tokens, step, 3, 2, 0))
+    np.testing.assert_array_equal(draft[0], [9, 5, 6])
+
+
+def test_ngram_draft_no_match_drafts_pads():
+    tokens = jnp.asarray([[1, 5, 6, 7, 8, 0, 0, 0]], jnp.int32)
+    step = jnp.asarray([4], jnp.int32)
+    draft = np.asarray(_ngram_draft(tokens, step, 4, 2, 0))
+    np.testing.assert_array_equal(draft[0], [0, 0, 0, 0])
+    # Too-early rows (step+1 < ngram window) also fall back to pads.
+    draft = np.asarray(_ngram_draft(tokens, jnp.asarray([0], jnp.int32),
+                                    4, 2, 0))
+    np.testing.assert_array_equal(draft[0], [0, 0, 0, 0])
+
+
+def test_generate_entry_routes_speculative(setup, rng):
+    """``generate(..., speculative_draft=K)`` takes the speculative path
+    on plain greedy (identical tokens) and silently falls back to the
+    sequential loop when a logits processor is configured (the processor
+    chain needs per-token sequential state)."""
+    from klab_multimodalmodel_tpu.infer import generate
+
+    model, params = setup
+    enc, mask = _enc_batch(model, params, np.random.default_rng(3), 2)
+    ref = np.asarray(generate(model, params, enc, mask, max_length=14))
+    got = np.asarray(generate(model, params, enc, mask, max_length=14,
+                              speculative_draft=4))
+    np.testing.assert_array_equal(got, ref)
+    # With a processor, speculative_draft must not change the output
+    # (the sequential greedy path handles the penalty either way).
+    ref_p = np.asarray(generate(model, params, enc, mask, max_length=14,
+                                repetition_penalty=1.3))
+    got_p = np.asarray(generate(model, params, enc, mask, max_length=14,
+                                repetition_penalty=1.3,
+                                speculative_draft=4))
+    np.testing.assert_array_equal(got_p, ref_p)
+
+
+def test_captioner_env_lever_token_identical(setup, rng, monkeypatch):
+    """KLAB_DECODE_SPECULATIVE routes the Captioner's greedy decode
+    through the speculative path with identical captions."""
+    from klab_multimodalmodel_tpu.config import (Config, SwinV2Size,
+                                                 register_swin_size,
+                                                 register_t5_size)
+    from klab_multimodalmodel_tpu.infer.captioner import Captioner
+    from klab_multimodalmodel_tpu.models.multimodal import MultiModalModel
+    from klab_multimodalmodel_tpu.text import ByteTokenizer
+
+    register_t5_size("t5-spec-micro", TINY)
+    register_swin_size("swin-spec-micro", SwinV2Size(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0)))
+    cfg = Config(language_model_name="t5-spec-micro",
+                 transformer_model_name="t5-spec-micro",
+                 image_model_name="swin-spec-micro",
+                 max_source_length=16, generate_max_length=8,
+                 compute_dtype="float32", scan_unroll=1)
+    mm = MultiModalModel(cfg)
+    params = mm.init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, cfg.max_source_length), np.int32),
+        np.zeros((1, 4), np.int32))["params"]
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    plain = Captioner(cfg, params, ByteTokenizer()).caption(imgs)
+    monkeypatch.setenv("KLAB_DECODE_SPECULATIVE", "4")
+    spec = Captioner(cfg, params, ByteTokenizer()).caption(imgs)
+    assert spec == plain
+
+
+def test_invalid_args_rejected(setup, rng):
+    model, params = setup
+    enc, mask = _enc_batch(model, params, np.random.default_rng(0), 1)
+    with pytest.raises(ValueError, match="draft_len"):
+        speculative_greedy_decode(model, params, enc, mask, 8, draft_len=0)
+    with pytest.raises(ValueError, match="ngram"):
+        speculative_greedy_decode(model, params, enc, mask, 8, ngram=0)
