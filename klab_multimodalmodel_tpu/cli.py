@@ -131,6 +131,11 @@ def serve_main() -> None:
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decode (infer/quantize.py): "
                         "~4x less HBM weight traffic per decode step")
+    p.add_argument("--speculative_draft", type=int, default=0,
+                   help="prompt-lookup speculative decoding with draft "
+                        "length K for plain-greedy requests "
+                        "(infer/speculative.py; token-identical output, "
+                        "fewer decoder passes when drafts accept); 0 off")
     p.add_argument("--max_gen_length", type=int, default=128,
                    help="upper bound on per-request max_length (KV-cache "
                         "size / compile-time guard)")
@@ -157,6 +162,14 @@ def serve_main() -> None:
                          "yet; pick one scale-out mode")
 
     from .serve.service import batch_buckets
+
+    if args.speculative_draft:
+        # The Captioner reads the KLAB_DECODE_SPECULATIVE env lever at
+        # construction; the flag is its CLI spelling (every service kind
+        # below builds its Captioner(s) after this point).
+        import os
+
+        os.environ["KLAB_DECODE_SPECULATIVE"] = str(args.speculative_draft)
 
     config, tokenizer, params = _load_run(args.result_dir, args.checkpoint)
     service_kw = dict(max_batch=args.max_batch,
