@@ -170,6 +170,51 @@ def main() -> None:
             res[f"spec_k{K}_accepted"] = acc
         print(json.dumps(res))
 
+    # -- 3. batched decode throughput (what klab-eval's val loop pays) ----
+    # Per-row positions let rows accept independently; the loop runs until
+    # the SLOWEST row finishes, so the batched win depends on the spread
+    # of per-row pass counts, not just the mean — measure, don't model.
+    res_b = {"metric": "batched speculative vs greedy decode throughput "
+                       "(max_length 20)",
+             "unit": "images/sec", "model": model_name,
+             "caveat": "same upper-bound acceptance caveat as above"}
+    for B in (8, 32):
+        bimg = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3),
+                                        dtype=np.uint8))
+        bsrc = jnp.asarray(rng.integers(2, 1000, (B, src_len)), jnp.int32)
+        bmask = jnp.ones((B, src_len), jnp.int32)
+        benc, benc_mask = encode(params, bimg, bsrc, bmask)
+        benc = jax.block_until_ready(benc)
+
+        def g_run():
+            return np.asarray(greedy_decode(t5, dec_params, benc,
+                                            benc_mask, 20))
+
+        ref = g_run()
+        n_rep = 10
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            g_run()
+        res_b[f"batch{B}_greedy_img_s"] = round(
+            B * n_rep / (time.perf_counter() - t0), 1)
+
+        for K in (4,):
+            def s_run():
+                t, _, _ = speculative_greedy_decode_with_stats(
+                    t5, dec_params, benc, benc_mask, 20, draft_len=K,
+                    ngram=2)
+                return np.asarray(t)
+
+            tokens = s_run()
+            assert np.array_equal(tokens, ref), (
+                "batched speculative diverged from greedy")
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                s_run()
+            res_b[f"batch{B}_spec_k{K}_img_s"] = round(
+                B * n_rep / (time.perf_counter() - t0), 1)
+    print(json.dumps(res_b))
+
 
 if __name__ == "__main__":
     main()
