@@ -67,6 +67,15 @@ def main() -> None:
         src, jnp.zeros((1, 4), jnp.int32), source_mask=mask)["params"]
     t5 = model.transformer_module()
     dec_params = params["transformer"]
+    # KLAB_DECODE_INT8=1: combine with weight-only int8 (infer/quantize.py)
+    # — int8 shrinks the per-pass weight stream, speculation cuts the pass
+    # count; the two levers are independent and multiply.
+    int8 = os.environ.get("KLAB_DECODE_INT8", "0") == "1"
+    if int8:
+        from klab_multimodalmodel_tpu.infer.quantize import \
+            quantize_for_decode
+
+        dec_params = quantize_for_decode(dec_params)
 
     @jax.jit
     def encode(params, img, src, mask):
@@ -112,7 +121,7 @@ def main() -> None:
         costs[T] = lat[len(lat) // 2] * 1e3 / N  # p50 ms per pass
     out = {"metric": "cached decode pass cost vs verification width "
                      "(batch 1, N=20 passes, p50)",
-           "unit": "ms/pass", "model": model_name,
+           "unit": "ms/pass", "model": model_name, "int8": int8,
            "ms_per_pass": {str(t): round(c, 3) for t, c in costs.items()},
            "breakeven_mean_accept": {
                str(t): round(costs[t] / costs[1] - 1.0, 3)
