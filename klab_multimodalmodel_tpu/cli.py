@@ -157,6 +157,9 @@ def serve_main() -> None:
                    help="decode steps between admission/reap boundaries "
                         "for --continuous")
     args = p.parse_args()
+    if args.speculative_draft < 0:
+        p.error(f"--speculative_draft must be >= 0, got "
+                f"{args.speculative_draft}")
     if args.continuous and args.replicas > 1:
         raise SystemExit("--continuous with --replicas is not supported "
                          "yet; pick one scale-out mode")

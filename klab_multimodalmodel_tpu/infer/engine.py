@@ -46,7 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.t5 import T5ForConditionalGeneration
-from .generate import StreamState, _select_next, _step, stream_init
+from .generate import (StreamState, _broadcast_cache_index, _select_next,
+                       _step, stream_init)
 
 
 def _as_typed_keys(rngs: jax.Array) -> jax.Array:
@@ -90,17 +91,6 @@ class EngineState(NamedTuple):
     enc_mask: jax.Array    # (S, W) int32
     rngs: jax.Array        # (S,) typed PRNG keys — per-request sampling
     #                        streams (inert under greedy decoding)
-
-
-def _broadcast_cache_index(cache: Any, n_slots: int) -> Any:
-    """(layers,) scalar cache_index leaves -> (layers, slots) per-row."""
-
-    def fix(path, leaf):
-        if getattr(path[-1], "key", None) == "cache_index":
-            return jnp.broadcast_to(leaf[:, None], (leaf.shape[0], n_slots))
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, cache)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9, 10, 11, 12, 13),

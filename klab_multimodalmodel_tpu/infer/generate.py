@@ -46,6 +46,22 @@ def _variables(params: Any) -> dict:
     return {"params": params}
 
 
+def _broadcast_cache_index(cache: Any, n_rows: int) -> Any:
+    """(layers,) scalar ``cache_index`` leaves -> (layers, n_rows) per-row.
+
+    Per-row indices switch ``models/t5.py:decode_step`` into its
+    every-row-at-its-own-position mode — used by the continuous engine's
+    slot batch (``infer/engine.py``) and the speculative loop's per-row
+    acceptance (``infer/speculative.py``)."""
+
+    def fix(path, leaf):
+        if getattr(path[-1], "key", None) == "cache_index":
+            return jnp.broadcast_to(leaf[:, None], (leaf.shape[0], n_rows))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, cache)
+
+
 def _init_cache(model: T5ForConditionalGeneration, params: Any,
                 encoder_hidden: jax.Array, encoder_mask, start_tokens,
                 max_length: int):

@@ -53,23 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.t5 import T5ForConditionalGeneration
-from .generate import _init_cache, _variables
-
-
-def _per_row_cache_index(cache: Any, batch: int) -> Any:
-    """(layers,) scalar ``cache_index`` leaves -> (layers, B) per-row.
-
-    Rows accept different draft counts per iteration, so every row sits at
-    its own decode position — the same per-row-index cache mode the
-    continuous engine uses (``models/t5.py:decode_step`` accepts a (B,)
-    step vector and one-hot-blends the K/V writes)."""
-
-    def fix(path, leaf):
-        if getattr(path[-1], "key", None) == "cache_index":
-            return jnp.broadcast_to(leaf[:, None], (leaf.shape[0], batch))
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, cache)
+from .generate import _broadcast_cache_index, _init_cache, _variables
 
 
 def _set_cache_index(cache: Any, new_index: jax.Array) -> Any:
@@ -143,7 +127,10 @@ def _speculative_core(model: T5ForConditionalGeneration, params: Any,
     start = jnp.full((B, 1), size.decoder_start_token_id, jnp.int32)
     logits0, cache = _init_cache(model, params, encoder_hidden,
                                  encoder_mask, start, L)
-    cache = _per_row_cache_index(cache, B)
+    # Per-row indices: rows accept different draft counts per iteration,
+    # so every row sits at its own decode position (the continuous
+    # engine's cache mode; decode_step takes a (B,) step vector).
+    cache = _broadcast_cache_index(cache, B)
     tokens = jnp.full((B, L), size.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(start[:, 0])
     tok1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)

@@ -231,6 +231,23 @@ def test_captioner_env_lever_token_identical(setup, rng, monkeypatch):
     assert spec == plain
 
 
+def test_speculative_composes_with_int8_decode(setup, rng):
+    """Speculation over int8 weight-only params (the composed serving
+    config measured in BASELINE.md) stays exact w.r.t. the int8 model's
+    own greedy decode — QuantizedParams flow through _variables in both
+    loops identically."""
+    from klab_multimodalmodel_tpu.infer.quantize import quantize_for_decode
+
+    model, params = setup
+    qparams = quantize_for_decode(params)
+    r = np.random.default_rng(11)
+    enc, mask = _enc_batch(model, params, r, batch=2)
+    ref = np.asarray(greedy_decode(model, qparams, enc, mask, 16))
+    got = np.asarray(speculative_greedy_decode(model, qparams, enc, mask,
+                                               16, draft_len=4, ngram=2))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_invalid_args_rejected(setup, rng):
     model, params = setup
     enc, mask = _enc_batch(model, params, np.random.default_rng(0), 1)
