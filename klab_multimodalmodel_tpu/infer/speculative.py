@@ -70,15 +70,25 @@ def _set_cache_index(cache: Any, new_index: jax.Array) -> Any:
 
 
 def _ngram_draft(tokens: jax.Array, step: jax.Array, draft_len: int,
-                 ngram: int, pad_id: int) -> jax.Array:
+                 ngram: int, pad_id: int,
+                 lookup_prefix: Optional[jax.Array] = None) -> jax.Array:
     """Prompt-lookup drafts: (B, draft_len) proposals per row.
 
     Finds the most recent position ``p <= step - ngram`` where
     ``tokens[p:p+ngram]`` equals the row's trailing ngram
     ``tokens[step-ngram+1 : step+1]`` and proposes the ``draft_len``
-    tokens that followed it. Rows with no match draft pads — a wrong
-    draft costs nothing (it is simply rejected and the iteration banks
-    its one bonus token, exactly plain greedy)."""
+    tokens that followed it. With ``lookup_prefix`` (B, S) — typically
+    the request's source token ids — the search corpus is
+    ``[prefix | generated]``, so copy-heavy seq2seq (span denoising,
+    summarization) drafts straight from the source; generated-prefix
+    matches still win ties by recency. Rows with no match draft pads —
+    a wrong draft costs nothing (it is simply rejected and the iteration
+    banks its one bonus token, exactly plain greedy)."""
+    if lookup_prefix is not None:
+        S = lookup_prefix.shape[1]
+        buf = jnp.concatenate(
+            [lookup_prefix.astype(tokens.dtype), tokens], axis=1)
+        return _ngram_draft(buf, step + S, draft_len, ngram, pad_id)
     B, L = tokens.shape
     n = ngram
     # Trailing n-gram per row (clipped reads are masked out below for
@@ -115,7 +125,8 @@ def _chunk_step(model, params, cache, chunk, step, encoder_hidden,
 def _speculative_core(model: T5ForConditionalGeneration, params: Any,
                       encoder_hidden: jax.Array,
                       encoder_mask: Optional[jax.Array],
-                      max_length: int, draft_len: int, ngram: int):
+                      max_length: int, draft_len: int, ngram: int,
+                      source_ids: Optional[jax.Array] = None):
     size = model.size
     B = encoder_hidden.shape[0]
     K = draft_len
@@ -145,7 +156,8 @@ def _speculative_core(model: T5ForConditionalGeneration, params: Any,
 
     def body(carry):
         step, tokens, cache, finished, iters, accepted = carry
-        draft = _ngram_draft(tokens, step, K, ngram, size.pad_token_id)
+        draft = _ngram_draft(tokens, step, K, ngram, size.pad_token_id,
+                             lookup_prefix=source_ids)
         last = jnp.take_along_axis(tokens, step[:, None], axis=1)
         chunk = jnp.concatenate([last, draft], axis=1)     # (B, K+1)
         logits, cache = _chunk_step(model, params, cache, chunk, step,
@@ -187,27 +199,35 @@ def speculative_greedy_decode(model: T5ForConditionalGeneration,
                               params: Any, encoder_hidden: jax.Array,
                               encoder_mask: Optional[jax.Array],
                               max_length: int = 20, draft_len: int = 4,
-                              ngram: int = 2) -> jax.Array:
+                              ngram: int = 2,
+                              source_ids: Optional[jax.Array] = None
+                              ) -> jax.Array:
     """Greedy decode via self-speculation; returns (B, max_length) ids,
     row layout identical to :func:`~..infer.generate.greedy_decode`
-    (``[decoder_start, t1, ..., eos, pad...]``), tokens bit-identical."""
+    (``[decoder_start, t1, ..., eos, pad...]``), tokens bit-identical.
+
+    ``source_ids`` (B, S) extends the drafter's lookup corpus with the
+    request's source tokens — the classic prompt-lookup configuration for
+    copy-heavy seq2seq (span denoising, summarization); drafting choice
+    never affects output tokens, only the pass count."""
     if draft_len < 1 or ngram < 1:
         raise ValueError(
             f"draft_len and ngram must be >= 1, got {draft_len}/{ngram}")
     tokens, _, _ = _speculative_core(model, params, encoder_hidden,
                                      encoder_mask, max_length, draft_len,
-                                     ngram)
+                                     ngram, source_ids)
     return tokens
 
 
 def speculative_greedy_decode_with_stats(
         model: T5ForConditionalGeneration, params: Any,
         encoder_hidden: jax.Array, encoder_mask: Optional[jax.Array],
-        max_length: int = 20, draft_len: int = 4, ngram: int = 2):
+        max_length: int = 20, draft_len: int = 4, ngram: int = 2,
+        source_ids: Optional[jax.Array] = None):
     """(tokens, n_decoder_passes, per-row accepted-draft totals) — the
     bench/introspection variant; same compiled program as the plain call."""
     if draft_len < 1 or ngram < 1:
         raise ValueError(
             f"draft_len and ngram must be >= 1, got {draft_len}/{ngram}")
     return _speculative_core(model, params, encoder_hidden, encoder_mask,
-                             max_length, draft_len, ngram)
+                             max_length, draft_len, ngram, source_ids)

@@ -164,6 +164,41 @@ def test_ngram_draft_finds_most_recent_continuation():
     np.testing.assert_array_equal(draft[0], [9, 5, 6])
 
 
+def test_ngram_draft_source_lookup():
+    """With a lookup prefix (the request's source ids) the drafter copies
+    continuations straight from the source — and a generated-prefix match
+    still wins by recency."""
+    src = jnp.asarray([[9, 5, 6, 7, 4, 0]], jnp.int32)
+    tokens = jnp.asarray([[1, 5, 6, 0, 0, 0, 0, 0]], jnp.int32)
+    step = jnp.asarray([2], jnp.int32)       # trailing bigram (5, 6)
+    draft = np.asarray(_ngram_draft(tokens, step, 2, 2, 0,
+                                    lookup_prefix=src))
+    np.testing.assert_array_equal(draft[0], [7, 4])  # copied from source
+    # Same bigram later in the GENERATED prefix outranks the source match.
+    tokens2 = jnp.asarray([[1, 5, 6, 8, 5, 6, 0, 0]], jnp.int32)
+    step2 = jnp.asarray([5], jnp.int32)
+    draft2 = np.asarray(_ngram_draft(tokens2, step2, 2, 2, 0,
+                                     lookup_prefix=src))
+    np.testing.assert_array_equal(draft2[0], [8, 5])  # from position 1-2
+
+
+def test_source_lookup_matches_greedy(setup, rng):
+    """source_ids only change WHICH drafts are proposed, never the output:
+    speculative with source-extended lookup stays bit-identical to greedy."""
+    model, params = setup
+    r = np.random.default_rng(21)
+    ids = r.integers(2, TINY.vocab_size, size=(3, SRC_W)).astype(np.int32)
+    mask = np.ones((3, SRC_W), np.int32)
+    enc = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      attention_mask=jnp.asarray(mask), method=model.encode)
+    ref = np.asarray(greedy_decode(model, params, enc,
+                                   jnp.asarray(mask), 16))
+    got = np.asarray(speculative_greedy_decode(
+        model, params, enc, jnp.asarray(mask), 16, draft_len=4, ngram=2,
+        source_ids=jnp.asarray(ids)))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_ngram_draft_no_match_drafts_pads():
     tokens = jnp.asarray([[1, 5, 6, 7, 8, 0, 0, 0]], jnp.int32)
     step = jnp.asarray([4], jnp.int32)
