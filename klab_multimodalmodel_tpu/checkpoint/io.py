@@ -296,7 +296,13 @@ class CheckpointManager:
             m = re.fullmatch(r"(epoch|step)_(\d+)", entry)
             if m and os.path.isdir(os.path.join(self.base, entry)):
                 meta = self.load_metadata(entry) or {}
-                key = (int(meta.get("steps", -1)), int(m.group(2)))
+                steps = meta.get("steps")
+                # Missing metadata (failed sidecar write, partial rsync):
+                # fall back to the name's N — exact for step_N, monotone
+                # for epoch_N — NOT to -1, which would silently rank the
+                # newest checkpoint below every older meta-bearing one.
+                key = (int(steps) if steps is not None else int(m.group(2)),
+                       int(m.group(2)))
                 if key > best_key:
                     best_key, best_name = key, entry
         return best_name

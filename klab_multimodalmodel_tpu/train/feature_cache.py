@@ -91,10 +91,6 @@ class FrozenFeatureCache:
         idx = np.asarray(indices)
         return np.asarray(self._data[np.where(idx >= 0, idx, 0)])
 
-    @property
-    def fill_fraction(self) -> float:
-        return float(self._filled.mean()) if self.num_samples else 1.0
-
     def flush(self) -> None:
         """Persist data + fill mask (survives restart/resume)."""
         self._data.flush()

@@ -96,6 +96,14 @@ def train(config: Config,
             "reference_pad_quirks keeps every position in the loss — the "
             "combination cannot be bit-exact. Use accumulation_tail='drop' "
             "or make len(train_loader) divisible by accumulation_steps")
+    if config.accumulation_tail == "drop" and len(train_loader) < accum:
+        raise ValueError(
+            f"len(train_loader)={len(train_loader)} < accumulation_steps="
+            f"{accum} with accumulation_tail='drop': every epoch would "
+            "drop all its batches and perform ZERO optimizer updates "
+            "(while still logging losses and saving 'best' checkpoints). "
+            "Use accumulation_tail='pad', lower accumulation_steps, or "
+            "grow the dataset/batch split")
     if config.accumulation_tail == "pad":
         opt_steps_per_epoch = max(-(-len(train_loader) // accum), 1)
     else:
@@ -169,15 +177,24 @@ def train(config: Config,
         lang_shape = (config.max_source_length,
                       config.language_t5.d_model)
         cache_dir = os.path.join(config.result_dir, "feature_cache")
+        # Multi-process runs share result_dir (the collective orbax saves
+        # require it), but memmap + np.save have no multi-writer story —
+        # concurrent flushes from N hosts would interleave pages and
+        # corrupt the fill mask. Each process owns its own cache files;
+        # rows that migrate to another host's shard on reshuffle simply
+        # miss there and refill via the full step (dispatch consensus
+        # below keeps the program choice global).
+        proc_tag = (f".p{jax.process_index()}"
+                    if jax.process_count() > 1 else "")
 
         def make_caches(tag, loader):
             caches = {"img": FrozenFeatureCache(
-                os.path.join(cache_dir, f"{tag}.img.feat"),
+                os.path.join(cache_dir, f"{tag}.img.feat{proc_tag}"),
                 len(loader.dataset), img_shape,
                 dtype=config.compute_dtype)}
             if getattr(loader.dataset, "source_is_static", False):
                 caches["lang"] = FrozenFeatureCache(
-                    os.path.join(cache_dir, f"{tag}.lang.feat"),
+                    os.path.join(cache_dir, f"{tag}.lang.feat{proc_tag}"),
                     len(loader.dataset), lang_shape,
                     dtype=config.compute_dtype)
             return caches
@@ -254,12 +271,40 @@ def train(config: Config,
         while pending_fill:
             cache_fill(*pending_fill.pop(0))
 
+    def flush_caches():
+        """Drain deferred fills, then persist data + fill masks — the one
+        shared path for the epoch end and preemption save."""
+        drain_fills()
+        if train_cache is not None:
+            for c in (*train_cache.values(), *val_cache.values()):
+                c.flush()
+
+    def all_hosts_agree(flag: bool) -> bool:
+        """Global AND of a per-host boolean. Which jit program a step
+        dispatches (cached vs full) is a GLOBAL decision — every process
+        must launch the same SPMD program or their collective schedules
+        diverge and the job deadlocks — the same consensus rule
+        ``bucket_batch`` applies to shapes and ``should_halt`` to
+        preemption."""
+        if jax.process_count() == 1:
+            return flag
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.array([1 if flag else 0], np.int32))
+        return bool(int(np.min(flags)) == 1)
+
     def step_with_cache(caches, batch, index, run_cached, run_full):
         """Shared cached-dispatch: run from the cache when every sample is
-        present, else run the with-features step and defer the writeback
-        (drained AFTER the next dispatch so the device stays busy)."""
+        present ON EVERY HOST (the per-epoch reshuffle migrates rows across
+        host shards, so one host can miss while another hits — the
+        program choice must be unanimous), else all hosts run the
+        with-features step and defer the writeback (drained AFTER the next
+        dispatch so the device stays busy)."""
         if caches is not None and index is not None:
             fb = cache_lookup(caches, batch, index)
+            if not all_hosts_agree(fb is not None):
+                fb = None
             if fb is not None:
                 loss = run_cached(trainer.device_put_batch(fb))
                 drain_fills()
@@ -274,16 +319,17 @@ def train(config: Config,
         """Fully image-cached epochs skip the host JPEG decode entirely —
         the cached step never touches the image tensor, and decode is the
         dominant host cost (~131 img/s/core vs ~940 img/s/chip device).
-        Gates on THIS host's epoch index shard (call after set_epoch), not
-        the global fill fraction: in multi-host runs each host only ever
-        fills its own rows, so a global >= 1.0 test would never pass."""
+        Gates on the epoch index shard of EVERY host (call after
+        set_epoch): if any host has an uncached row, the dispatch
+        consensus above will run FULL steps — which need real pixels — on
+        all hosts, so skipping decode must also be unanimous."""
         if caches is not None:
             # EVERY cache must cover every row this host will draw: a full
             # img cache with a partial lang cache still falls back to the
             # full step, which needs real pixels.
             shard = loader.epoch_indices().reshape(-1)
-            loader.dataset.skip_image_load = all(
-                c.has(shard) for c in caches.values())
+            loader.dataset.skip_image_load = all_hosts_agree(all(
+                c.has(shard) for c in caches.values()))
 
     # -- preemption / halt machinery ---------------------------------------
     # "local": this process saw SIGTERM. "global": every process agreed to
@@ -409,7 +455,11 @@ def train(config: Config,
                                    run_cached, run_full)
             loss_counter.add_loss("train", loss)
             steps += 1
-            images_seen += n_real_images
+            # n_real_images counts THIS host's loader rows; the logged
+            # img/s and metrics.jsonl rates are global (divided by the
+            # GLOBAL device count below), so scale by process_count —
+            # every host draws an equal slice of each global batch.
+            images_seen += n_real_images * max(jax.process_count(), 1)
             if (is_main and config.log_every_steps
                     and steps % config.log_every_steps == 0):
                 dt_so_far = time.perf_counter() - epoch_t0
@@ -423,10 +473,7 @@ def train(config: Config,
             (groups done this epoch, RNG, loss partials) and stop. The
             notion matches a torchrun job killed mid-epoch — except here the
             run continues bit-exactly."""
-            drain_fills()
-            if train_cache is not None:
-                for c in (*train_cache.values(), *val_cache.values()):
-                    c.flush()
+            flush_caches()
             meta = {"epoch": epoch - 1, "steps": steps,
                     "min_val_loss": min_val_loss,
                     "epoch_cursor": groups_done, **resume_state_meta()}
@@ -491,10 +538,7 @@ def train(config: Config,
                 lambda db: trainer.eval_step(state.params, db),
                 lambda db: trainer.eval_step_with_features(state.params, db))
             loss_counter.add_loss("val", loss)
-        drain_fills()
-        if train_cache is not None:
-            for c in (*train_cache.values(), *val_cache.values()):
-                c.flush()
+        flush_caches()
 
         train_loss, val_loss = loss_counter.count_and_get_loss()
         dt = time.perf_counter() - epoch_t0

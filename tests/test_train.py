@@ -789,6 +789,39 @@ def test_sigterm_preemption_save_and_resume(tmp_path, monkeypatch):
     assert out_a["losses"] == out_b2["losses"]
 
 
+def test_drop_tail_zero_update_epochs_rejected(tmp_path):
+    """accumulation_tail='drop' with fewer loader batches than
+    accumulation_steps would silently train NOTHING every epoch (zero
+    updates, loss 0.0 logged, untrained 'best' saved) — refused loudly."""
+    cfg = micro_config(tmp_path, accumulation_steps=8,
+                       accumulation_tail="drop")
+    with pytest.raises(ValueError, match="ZERO optimizer updates"):
+        train(cfg, train_loader=_make_loader(cfg, n=16),
+              val_loader=_make_loader(cfg, n=8), resume=False)
+
+
+def test_latest_falls_back_to_name_when_meta_missing(tmp_path):
+    """A checkpoint whose sidecar .meta.json is missing (failed metadata
+    write, partial rsync) must not rank below every older meta-bearing
+    checkpoint: latest() falls back to the name's N, not -1."""
+    import json as _json
+    import os as _os
+
+    from klab_multimodalmodel_tpu.checkpoint.io import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path))
+    _os.makedirs(mgr.path("epoch_3"))
+    with open(_os.path.join(mgr.base, "epoch_3.meta.json"), "w") as f:
+        _json.dump({"steps": 30}, f)
+    _os.makedirs(mgr.path("step_50"))  # no sidecar meta
+    assert mgr.latest() == "step_50"
+    # With its meta present and recording fewer steps, ordering follows
+    # the recorded step count again.
+    with open(_os.path.join(mgr.base, "step_50.meta.json"), "w") as f:
+        _json.dump({"steps": 20}, f)
+    assert mgr.latest() == "epoch_3"
+
+
 def test_metrics_jsonl_written(tmp_path):
     """Each epoch appends a machine-readable line to metrics.jsonl."""
     import json as _json
